@@ -1,0 +1,189 @@
+"""Matrix-free restarted GMRES, fully on-device (jit + lax.while_loop).
+
+Capability parity with the reference's KSP usage: KSPGMRES with left
+preconditioning (ILU/BJACOBI/NONE), rtol=atol=1e-5, maxits=1000
+(/root/reference/tests/WaveSystem_SphericalExplosion_impl_seq.cxx:95-101,
+TransportEquation_SphericalExplosion_impl_mpi.cxx:33-36,122). PETSc's GMRES
+defaults replicated here: restart m=30, LEFT preconditioning, convergence on
+the *preconditioned* residual norm with ‖r‖ < max(rtol·‖b_pre‖, atol)
+(KSP_NORM_PRECONDITIONED + KSPConvergedDefault semantics), divergence at
+‖r‖ > divtol·‖b_pre‖.
+
+TPU-first design:
+- the operator A and preconditioner M⁻¹ are plain callables (SpMV pytrees,
+  circulant FFT solves, …) traced into ONE jitted program; no host round
+  trips inside the iteration,
+- the Arnoldi basis V is a static (m+1, n) array; modified Gram-Schmidt is
+  a dense (m+1,n)·(n,) matvec pair per iteration, which XLA maps to the MXU.
+  Rows of V beyond the current Krylov dimension are zero, so no masking is
+  needed in the projections,
+- the Hessenberg least-squares is solved incrementally with Givens rotations
+  (residual norm available every iteration without forming the solution),
+- the whole restart cycle is a lax.while_loop with on-device convergence
+  tests; all global reductions (dots/norms) stay on device — in the sharded
+  case they become psum collectives automatically under shard_map/pjit.
+
+Reduction-count parity note: PETSc's dot products are MPI_Allreduce calls;
+here they are XLA reductions fused into the program. Iteration counts match
+the reference within floating-point orthogonalization differences (MGS here;
+PETSc defaults to classical GS + optional refinement).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class KrylovResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array  # total inner iterations (matvec count)
+    resnorm: jax.Array  # final (preconditioned) residual norm
+    converged: jax.Array  # bool: True if tolerance met (PETSc reason>0 analog)
+
+
+def _identity(r):
+    return r
+
+
+def make_gmres(
+    A: Callable[[jax.Array], jax.Array],
+    M: Callable[[jax.Array], jax.Array] | None = None,
+    *,
+    restart: int = 30,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    maxiter: int = 1000,
+    divtol: float = 1e4,
+) -> Callable[[jax.Array, jax.Array | None], KrylovResult]:
+    """Build a jitted GMRES solver for a fixed operator/preconditioner pair.
+
+    `A` and `M` may close over pytrees of device arrays (CSR matrices,
+    circulant spectra); the returned function is jitted once per (shape,
+    dtype) of b. Left preconditioning: solves M⁻¹A x = M⁻¹ b.
+    """
+    if M is None:
+        M = _identity
+    m = int(restart)
+
+    @jax.jit
+    def solve(b: jax.Array, x0: jax.Array | None = None) -> KrylovResult:
+        n = b.shape[0]
+        dtype = b.dtype
+        x = jnp.zeros_like(b) if x0 is None else x0
+        eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+        b_pre = M(b)
+        bnorm = jnp.linalg.norm(b_pre)
+        tol = jnp.maximum(rtol * bnorm, atol)
+        dtol = divtol * jnp.maximum(bnorm, eps)
+
+        def arnoldi_cycle(x, total_it):
+            """One restart cycle; returns (x_new, res, iters_done, diverged)."""
+            r = M(b - A(x))
+            beta = jnp.linalg.norm(r)
+            V = jnp.zeros((m + 1, n), dtype)
+            V = V.at[0].set(r / jnp.maximum(beta, eps))
+            H = jnp.zeros((m + 1, m), dtype)
+            cs = jnp.zeros((m,), dtype)
+            sn = jnp.zeros((m,), dtype)
+            g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+
+            def inner_cond(st):
+                V, H, cs, sn, g, j, res = st
+                return jnp.logical_and(
+                    j < m,
+                    jnp.logical_and(
+                        res >= tol,
+                        jnp.logical_and(res <= dtol, total_it + j < maxiter),
+                    ),
+                )
+
+            def inner_body(st):
+                V, H, cs, sn, g, j, _res = st
+                w = M(A(V[j]))
+                # Modified Gram-Schmidt: rows of V beyond j are zero, so the
+                # full-matrix projection only removes the active basis.
+                h = V @ w  # (m+1,)
+                w = w - V.T @ h
+                # one reorthogonalization pass (cheap; keeps f32 robust)
+                h2 = V @ w
+                w = w - V.T @ h2
+                h = h + h2
+                wnorm = jnp.linalg.norm(w)
+                h = h.at[j + 1].set(wnorm)
+                V = V.at[j + 1].set(w / jnp.maximum(wnorm, eps))
+
+                # apply existing Givens rotations to the new column
+                def apply_rot(i, hcol):
+                    t = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
+                    h2_ = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
+                    return hcol.at[i].set(t).at[i + 1].set(h2_)
+
+                hcol = lax.fori_loop(0, j, apply_rot, h)
+                # new rotation zeroing hcol[j+1]
+                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                c = jnp.where(denom > eps, hcol[j] / jnp.maximum(denom, eps), 1.0)
+                s = jnp.where(denom > eps, hcol[j + 1] / jnp.maximum(denom, eps), 0.0)
+                cs_ = cs.at[j].set(c)
+                sn_ = sn.at[j].set(s)
+                hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+                H = H.at[:, j].set(hcol)
+                g_ = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+                res = jnp.abs(g_[j + 1])
+                return (V, H, cs_, sn_, g_, j + 1, res)
+
+            V, H, cs, sn, g, j, res = lax.while_loop(
+                inner_cond, inner_body, (V, H, cs, sn, g, jnp.array(0, jnp.int32), beta)
+            )
+
+            # Solve R y = g on the active j×j block. Inactive columns have
+            # H[i,i]=0; replace with 1 and zero g beyond j so y there is 0.
+            diag_ok = jnp.arange(m) < j
+            R = H[:m, :]
+            R = jnp.where(jnp.eye(m, dtype=bool) & ~diag_ok[None, :], 1.0, R)
+            R = R + jnp.diag(jnp.where(jnp.abs(jnp.diag(R)) < eps, eps, 0.0).astype(dtype))
+            gm = jnp.where(diag_ok, g[:m], 0.0)
+            y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
+            x_new = x + V[:m].T @ y
+            return x_new, res, j, res > dtol
+
+        def outer_cond(st):
+            x, res, it, diverged = st
+            return jnp.logical_and(
+                res >= tol, jnp.logical_and(it < maxiter, ~diverged)
+            )
+
+        def outer_body(st):
+            x, _res, it, _div = st
+            x, res, j, diverged = arnoldi_cycle(x, it)
+            return (x, res, it + j, diverged)
+
+        r0 = M(b - A(x))
+        res0 = jnp.linalg.norm(r0)
+        x, res, it, diverged = lax.while_loop(
+            outer_cond, outer_body, (x, res0, jnp.array(0, jnp.int32), jnp.array(False))
+        )
+        return KrylovResult(x, it, res, jnp.logical_and(res < tol, ~diverged))
+
+    return solve
+
+
+def gmres(
+    A,
+    b,
+    x0=None,
+    *,
+    M=None,
+    restart: int = 30,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    maxiter: int = 1000,
+) -> KrylovResult:
+    """One-shot convenience wrapper (re-traces per distinct A/M closure —
+    prefer make_gmres in timestepping loops)."""
+    return make_gmres(A, M, restart=restart, rtol=rtol, atol=atol, maxiter=maxiter)(b, x0)

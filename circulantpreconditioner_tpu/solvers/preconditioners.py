@@ -1,0 +1,220 @@
+"""Preconditioners: identity, Jacobi, point-block Jacobi, ILU(0), circulant.
+
+Parity with the reference's PC usage:
+- PCNONE   (TransportEquation_SphericalExplosion_impl_mpi.cxx:33-35) → identity
+- PCILU    (WaveSystem_SphericalExplosion_impl_seq.cxx:31-33)        → ILU(0)
+  with level-scheduled sparse triangular solves on device
+- PCBJACOBI(WaveSystem_SphericalExplosion_impl_mpi.cxx:32-34)        → per-
+  partition ILU(0) (block_jacobi_ilu0) and point-block Jacobi (pbjacobi)
+- the circulant FFT preconditioner (PCSHELLFft_3D.cxx, completed here) is
+  provided by CirculantTransportOperator.as_preconditioner() and the
+  projection-composed variant in solvers/circulant_pc.py.
+
+All apply() paths are jittable closures over device arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from circulantpreconditioner_tpu.ops.csr import BSRMatrix, CSRMatrix
+
+
+def identity() -> Callable[[jax.Array], jax.Array]:
+    return lambda r: r
+
+
+def jacobi(A: CSRMatrix) -> Callable[[jax.Array], jax.Array]:
+    """Diagonal scaling M⁻¹ = diag(A)⁻¹."""
+    d = A.diagonal()
+    dinv = jnp.where(jnp.abs(d) > 0, 1.0 / d, 1.0)
+
+    def apply(r: jax.Array) -> jax.Array:
+        return dinv * r
+
+    return apply
+
+
+def pbjacobi(A: BSRMatrix) -> Callable[[jax.Array], jax.Array]:
+    """Point-block Jacobi (PETSc PCPBJACOBI): invert the (b×b) diagonal
+    blocks once; apply is a batched small matvec (MXU-friendly)."""
+    D = A.block_diagonal()  # (n_brows, b, b)
+    Dinv = jnp.linalg.inv(D)
+    b = A.block_size
+
+    def apply(r: jax.Array) -> jax.Array:
+        rb = r.reshape(-1, b)
+        return jnp.einsum("nij,nj->ni", Dinv, rb).reshape(-1)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# ILU(0)
+# ---------------------------------------------------------------------------
+
+
+def _ilu0_factor_host(indptr, indices, data):
+    """In-place ILU(0) (IKJ variant) on host. Returns modified `data` where
+    strictly-lower entries hold L (unit diagonal implied) and upper+diag hold U.
+    Column indices within each row must be sorted (guaranteed by our CSR
+    builders)."""
+    n = len(indptr) - 1
+    data = data.copy()
+    # position of the diagonal in each row
+    diag_pos = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        cols = indices[s:e]
+        d = np.searchsorted(cols, i)
+        if d >= e - s or cols[d] != i:
+            raise ValueError(f"ILU(0): missing diagonal in row {i}")
+        diag_pos[i] = s + d
+    # quick col->pos lookup per row via dict of dicts is slow; use searchsorted
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        cols_i = indices[s:e]
+        for kk in range(s, int(diag_pos[i])):
+            k = indices[kk]
+            piv = data[diag_pos[k]]
+            if piv == 0.0:
+                piv = np.finfo(data.dtype).tiny
+            lik = data[kk] / piv
+            data[kk] = lik
+            # subtract lik * U[k, j] for j in row i's pattern, j > k
+            ks, ke = indptr[k], indptr[k + 1]
+            cols_k = indices[ks:ke]
+            # entries of row k with col > k
+            start_k = np.searchsorted(cols_k, k) + 1
+            for pk in range(ks + start_k, ke):
+                j = indices[pk]
+                # find j in row i
+                pj = np.searchsorted(cols_i, j)
+                if pj < e - s and cols_i[pj] == j:
+                    data[s + pj] -= lik * data[pk]
+    return data, diag_pos
+
+
+def _level_schedule(indptr, indices, strict_lower: bool, n: int):
+    """Level sets for a triangular solve: rows in the same level have no
+    dependencies among themselves. Returns list of row-index arrays (in
+    dependency order; reversed ordering handled by caller for upper)."""
+    level = np.zeros(n, dtype=np.int64)
+    if strict_lower:
+        for i in range(n):
+            lmax = 0
+            for p in range(indptr[i], indptr[i + 1]):
+                j = indices[p]
+                if j < i and level[j] + 1 > lmax:
+                    lmax = level[j] + 1
+            level[i] = lmax
+    else:
+        for i in range(n - 1, -1, -1):
+            lmax = 0
+            for p in range(indptr[i], indptr[i + 1]):
+                j = indices[p]
+                if j > i and level[j] + 1 > lmax:
+                    lmax = level[j] + 1
+            level[i] = lmax
+    nlev = int(level.max()) + 1 if n else 0
+    return [np.nonzero(level == l)[0] for l in range(nlev)]
+
+
+class ILU0Preconditioner:
+    """ILU(0) with level-scheduled sparse triangular solves on device.
+
+    Factorization is host-side preprocessing (like PETSc's PCSetUp); the
+    apply is a jittable sequence of per-level gather/scatter ops with static
+    shapes — rows within a level are independent, so each level is one
+    vectorized ELL-style dot; the level structure is baked into the trace.
+    """
+
+    def __init__(self, A: CSRMatrix, dtype=None):
+        indptr = np.asarray(A.indptr)
+        indices = np.asarray(A.indices)
+        data = np.asarray(A.data, dtype=np.float64)
+        n = A.shape[0]
+        f, diag_pos = _ilu0_factor_host(indptr, indices, data)
+        dtype = dtype or A.data.dtype
+
+        def build_tri(strict_lower: bool):
+            rows_levels = _level_schedule(indptr, indices, strict_lower, n)
+            levels = []
+            for rows in rows_levels:
+                # ELL-pack the strictly-lower (or strictly-upper) part of the rows
+                packs = []
+                maxdeg = 0
+                for i in rows:
+                    s, e = indptr[i], indptr[i + 1]
+                    if strict_lower:
+                        sel = [(indices[p], f[p]) for p in range(s, e) if indices[p] < i]
+                    else:
+                        sel = [(indices[p], f[p]) for p in range(s, e) if indices[p] > i]
+                    packs.append(sel)
+                    maxdeg = max(maxdeg, len(sel))
+                k = max(maxdeg, 1)
+                cols = np.zeros((len(rows), k), dtype=np.int32)
+                vals = np.zeros((len(rows), k), dtype=np.float64)
+                for r, sel in enumerate(packs):
+                    for c, (j, v) in enumerate(sel):
+                        cols[r, c] = j
+                        vals[r, c] = v
+                levels.append(
+                    (
+                        jnp.asarray(rows.astype(np.int32)),
+                        jnp.asarray(cols),
+                        jnp.asarray(vals, dtype=dtype),
+                    )
+                )
+            return levels
+
+        self._lower_levels = build_tri(True)
+        self._upper_levels = build_tri(False)
+        self._dinv = jnp.asarray(1.0 / f[diag_pos], dtype=dtype)
+        self.n_levels = (len(self._lower_levels), len(self._upper_levels))
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        """x = U⁻¹ L⁻¹ r (unit-diagonal L)."""
+        y = r
+        for rows, cols, vals in self._lower_levels:
+            acc = jnp.sum(vals * y[cols], axis=1)
+            y = y.at[rows].set(r[rows] - acc)
+        # level 0 of the upper schedule = rows with no dependencies (the
+        # trailing rows) — process levels in the order they were built
+        x = y
+        for rows, cols, vals in self._upper_levels:
+            acc = jnp.sum(vals * x[cols], axis=1)
+            x = x.at[rows].set((y[rows] - acc) * self._dinv[rows])
+        return x
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        return self.apply(r)
+
+
+def ilu0(A: CSRMatrix) -> ILU0Preconditioner:
+    return ILU0Preconditioner(A)
+
+
+def block_jacobi_ilu0(A: CSRMatrix, n_blocks: int) -> Callable[[jax.Array], jax.Array]:
+    """PETSc PCBJACOBI analog: partition rows into `n_blocks` contiguous
+    chunks, ILU(0) on each diagonal block, apply independently (the inter-
+    block couplings are dropped — same convergence behavior as the
+    reference's MPI BJACOBI with np = n_blocks)."""
+    n = A.shape[0]
+    bounds = np.linspace(0, n, n_blocks + 1).astype(np.int64)
+    Asp = A.to_scipy()
+    subs = []
+    for k in range(n_blocks):
+        s, e = int(bounds[k]), int(bounds[k + 1])
+        sub = CSRMatrix.from_scipy(Asp[s:e, s:e].tocsr(), dtype=A.data.dtype)
+        subs.append((s, e, ILU0Preconditioner(sub)))
+
+    def apply(r: jax.Array) -> jax.Array:
+        parts = [pc.apply(r[s:e]) for s, e, pc in subs]
+        return jnp.concatenate(parts)
+
+    return apply

@@ -1,0 +1,181 @@
+"""Krylov solver + preconditioner tests (vs SciPy direct solves)."""
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+import jax.numpy as jnp
+
+from circulantpreconditioner_tpu.ops.circulant import CirculantTransportOperator
+from circulantpreconditioner_tpu.ops.csr import CSRMatrix
+from circulantpreconditioner_tpu.solvers import bicgstab, cg, gmres, make_gmres
+from circulantpreconditioner_tpu.solvers import preconditioners as pcs
+
+
+def upwind_1d_periodic(n, lam, dtype=np.float64):
+    """I + lam*(I - S): the 1D implicit upwind operator (circulant)."""
+    main = (1 + lam) * np.ones(n)
+    lower = -lam * np.ones(n - 1)
+    A = sp.diags([main, lower], [0, -1]).tolil()
+    A[0, n - 1] = -lam
+    return A.tocsr().astype(dtype)
+
+
+def laplace_2d(nx, ny, dtype=np.float64):
+    ex = np.ones(nx)
+    ey = np.ones(ny)
+    Tx = sp.diags([2 * ex, -ex[:-1], -ex[:-1]], [0, -1, 1])
+    Ty = sp.diags([2 * ey, -ey[:-1], -ey[:-1]], [0, -1, 1])
+    return (sp.kronsum(Tx, Ty) + 0.05 * sp.eye(nx * ny)).tocsr().astype(dtype)
+
+
+def test_gmres_unpreconditioned_matches_direct():
+    rng = np.random.default_rng(0)
+    A = upwind_1d_periodic(64, 3.0)
+    b = rng.normal(size=64)
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    res = gmres(Aj.matvec, jnp.asarray(b), rtol=1e-10, atol=1e-12)
+    x_ref = spla.spsolve(A, b)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_gmres_restart_path():
+    rng = np.random.default_rng(1)
+    A = laplace_2d(12, 12)
+    b = rng.normal(size=A.shape[0])
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    res = gmres(Aj.matvec, jnp.asarray(b), restart=10, rtol=1e-8, atol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    assert int(res.iters) > 10  # forced through at least one restart
+    x_ref = spla.spsolve(A, b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gmres_tolerance_semantics():
+    """PETSc KSPConvergedDefault: stop when ||r_pre|| < max(rtol*||b_pre||, atol)."""
+    rng = np.random.default_rng(2)
+    A = upwind_1d_periodic(128, 10.0)
+    b = rng.normal(size=128)
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    res = gmres(Aj.matvec, jnp.asarray(b), rtol=1e-5, atol=1e-50)
+    r = b - A @ np.asarray(res.x)
+    assert np.linalg.norm(r) < 1e-5 * np.linalg.norm(b) * 1.01
+
+
+def test_gmres_with_jacobi_pc():
+    rng = np.random.default_rng(3)
+    A = laplace_2d(10, 10) + sp.diags(rng.random(100) * 5)
+    A = A.tocsr()
+    b = rng.normal(size=100)
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    M = pcs.jacobi(Aj)
+    res = gmres(Aj.matvec, jnp.asarray(b), M=M, rtol=1e-8, atol=1e-10)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b), rtol=1e-5, atol=1e-6)
+
+
+def test_gmres_with_circulant_pc_is_direct():
+    """The circulant PC applied to the exactly-circulant operator must make
+    GMRES converge in one iteration (M = A⁻¹)."""
+    op = CirculantTransportOperator.create((32,), (5.0,), jnp.float64)
+    A = upwind_1d_periodic(32, 5.0)
+    rng = np.random.default_rng(4)
+    b = rng.normal(size=32)
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    res = gmres(Aj.matvec, jnp.asarray(b), M=op.as_preconditioner(), rtol=1e-10, atol=1e-12)
+    assert bool(res.converged)
+    assert int(res.iters) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b), rtol=1e-8, atol=1e-8)
+
+
+def test_cg_spd():
+    rng = np.random.default_rng(5)
+    A = laplace_2d(15, 15)
+    b = rng.normal(size=A.shape[0])
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    res = cg(Aj.matvec, jnp.asarray(b), M=pcs.jacobi(Aj), rtol=1e-10, atol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b), rtol=1e-6, atol=1e-7)
+
+
+def test_bicgstab_nonsymmetric():
+    rng = np.random.default_rng(6)
+    A = upwind_1d_periodic(100, 2.0)
+    b = rng.normal(size=100)
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    res = bicgstab(Aj.matvec, jnp.asarray(b), rtol=1e-10, atol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b), rtol=1e-6, atol=1e-6)
+
+
+def test_ilu0_exact_for_triangular_pattern():
+    """For a matrix whose LU factors fit the sparsity pattern (here: a lower
+    bidiagonal + diagonal), ILU(0) is an exact factorization."""
+    n = 50
+    A = sp.diags([2 * np.ones(n), -np.ones(n - 1)], [0, -1]).tocsr()
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    M = pcs.ilu0(Aj)
+    rng = np.random.default_rng(7)
+    r = rng.normal(size=n)
+    np.testing.assert_allclose(np.asarray(M.apply(jnp.asarray(r))), spla.spsolve(A, r), atol=1e-12)
+
+
+def test_ilu0_apply_matches_dense_triangular_solves():
+    rng = np.random.default_rng(8)
+    A = laplace_2d(8, 8)
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    from circulantpreconditioner_tpu.solvers.preconditioners import _ilu0_factor_host
+
+    indptr, indices = np.asarray(Aj.indptr), np.asarray(Aj.indices)
+    f, diag_pos = _ilu0_factor_host(indptr, indices, np.asarray(Aj.data))
+    n = A.shape[0]
+    L = np.eye(n)
+    U = np.zeros((n, n))
+    for i in range(n):
+        for p in range(indptr[i], indptr[i + 1]):
+            j = indices[p]
+            if j < i:
+                L[i, j] = f[p]
+            else:
+                U[i, j] = f[p]
+    M = pcs.ilu0(Aj)
+    r = rng.normal(size=n)
+    want = np.linalg.solve(U, np.linalg.solve(L, r))
+    np.testing.assert_allclose(np.asarray(M.apply(jnp.asarray(r))), want, atol=1e-10)
+
+
+def test_gmres_ilu0_accelerates():
+    rng = np.random.default_rng(9)
+    A = laplace_2d(20, 20)
+    b = rng.normal(size=A.shape[0])
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    res_plain = gmres(Aj.matvec, jnp.asarray(b), rtol=1e-8, atol=1e-10, maxiter=2000)
+    M = pcs.ilu0(Aj)
+    res_ilu = gmres(Aj.matvec, jnp.asarray(b), M=M.apply, rtol=1e-8, atol=1e-10, maxiter=2000)
+    assert bool(res_ilu.converged)
+    assert int(res_ilu.iters) < int(res_plain.iters)
+    np.testing.assert_allclose(np.asarray(res_ilu.x), spla.spsolve(A, b), rtol=1e-5, atol=1e-6)
+
+
+def test_block_jacobi_ilu0():
+    rng = np.random.default_rng(10)
+    A = laplace_2d(16, 16)
+    b = rng.normal(size=A.shape[0])
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    M = pcs.block_jacobi_ilu0(Aj, 4)
+    res = gmres(Aj.matvec, jnp.asarray(b), M=M, rtol=1e-8, atol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b), rtol=1e-5, atol=1e-6)
+
+
+def test_make_gmres_reusable():
+    """make_gmres returns a jitted solver reusable across RHS without retrace."""
+    A = upwind_1d_periodic(32, 1.0)
+    Aj = CSRMatrix.from_scipy(A, dtype=jnp.float64)
+    solver = make_gmres(Aj.matvec, rtol=1e-10, atol=1e-12)
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        b = rng.normal(size=32)
+        res = solver(jnp.asarray(b), None)
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b), rtol=1e-7, atol=1e-8)
