@@ -1,0 +1,116 @@
+"""Host-side mesh core: flat face/cell arrays for vectorized FV assembly.
+
+TPU-native replacement for the SOLVERLAB/CDMATH Mesh/Cell/Face object API the
+reference walks cell-by-cell (src/WaveSystem.cxx:109-176). Instead of an
+object graph, a mesh here is a set of flat NumPy arrays in face-major form —
+exactly what vectorized scatter-add assembly and device kernels need:
+
+- `face_cells[f] = (L, R)`: the two incident cells; R = -1 on boundary faces.
+- `face_normal[f]`: unit normal pointing OUT of cell L.
+- `face_area[f]`, `cell_volume[c]`, `cell_center[c]`.
+- `face_group[f]`: integer boundary-group code (0 = interior); group names
+  (Wall/Periodic/Neumann/...) live in `groups` — the analog of
+  Face::getGroupName (WaveSystem.cxx:150-168).
+- `periodic_twin[f]`: the CELL on the other side of the periodic wrap for a
+  periodic boundary face (or -1). The reference goes face → twin face →
+  twin cell (getIndexFacePeriodic + Fp.getCellsId()[0], WaveSystem.cxx:159-167);
+  we store the resulting cell directly.
+
+All preprocessing is host-side NumPy (built once), matching the reference's
+rank-0 assembly model (SURVEY.md §2.6); solvers receive static device arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+INTERIOR = 0
+
+
+@dataclass
+class BoundaryGroup:
+    name: str
+    code: int
+
+
+@dataclass
+class Mesh:
+    dim: int
+    cell_center: np.ndarray  # (nC, dim)
+    cell_volume: np.ndarray  # (nC,)
+    face_cells: np.ndarray  # (nF, 2) int64; [:,1] == -1 on boundary
+    face_normal: np.ndarray  # (nF, dim) unit, outward from face_cells[:,0]
+    face_area: np.ndarray  # (nF,)
+    face_center: np.ndarray  # (nF, dim)
+    face_group: np.ndarray  # (nF,) int32; 0 = interior
+    groups: dict[str, int] = field(default_factory=dict)  # name -> code
+    periodic_twin: np.ndarray | None = None  # (nF,) int64 twin CELL id, or -1
+    # structured metadata (None for unstructured meshes)
+    structured_shape: tuple[int, ...] | None = None  # (nx, ny, nz-like, xyz order)
+    bounds: np.ndarray | None = None  # (dim, 2) [min, max] per axis
+    name: str = "mesh"
+
+    @property
+    def n_cells(self) -> int:
+        return self.cell_center.shape[0]
+
+    @property
+    def n_faces(self) -> int:
+        return self.face_cells.shape[0]
+
+    @property
+    def is_structured(self) -> bool:
+        return self.structured_shape is not None
+
+    def group_code(self, name: str) -> int:
+        return self.groups[name]
+
+    def boundary_faces(self) -> np.ndarray:
+        return np.nonzero(self.face_cells[:, 1] < 0)[0]
+
+    def min_ratio_vol_surf(self) -> float:
+        """min over cells of |V| / |∂V| — the reference's minRatioVolSurf used
+        in every CFL dt formula (e.g. TransportEquationFFT_...cxx:45)."""
+        surf = np.zeros(self.n_cells)
+        np.add.at(surf, self.face_cells[:, 0], self.face_area)
+        inner = self.face_cells[:, 1]
+        m = inner >= 0
+        np.add.at(surf, inner[m], self.face_area[m])
+        return float((self.cell_volume / surf).min())
+
+    def max_neighbours(self) -> int:
+        """Max faces per cell (PETSc preallocation analog getMaxNbNeighbours)."""
+        cnt = np.zeros(self.n_cells, dtype=np.int64)
+        np.add.at(cnt, self.face_cells[:, 0], 1)
+        inner = self.face_cells[:, 1]
+        m = inner >= 0
+        np.add.at(cnt, inner[m], 1)
+        return int(cnt.max())
+
+    def bbox(self) -> np.ndarray:
+        """(dim, 2) bounding box of cell centers extended to cell extents if
+        structured bounds are known."""
+        if self.bounds is not None:
+            return self.bounds
+        lo = self.cell_center.min(axis=0)
+        hi = self.cell_center.max(axis=0)
+        return np.stack([lo, hi], axis=1)
+
+    def validate(self) -> None:
+        """Sanity invariants: positive volumes/areas, unit normals, and the
+        divergence-theorem closure Σ_faces |F|·n = 0 per cell."""
+        assert (self.cell_volume > 0).all(), "non-positive cell volume"
+        assert (self.face_area > 0).all(), "non-positive face area"
+        nrm = np.linalg.norm(self.face_normal, axis=1)
+        assert np.allclose(nrm, 1.0, atol=1e-10), "non-unit face normal"
+        closure = np.zeros((self.n_cells, self.dim))
+        np.add.at(closure, self.face_cells[:, 0], self.face_area[:, None] * self.face_normal)
+        inner = self.face_cells[:, 1]
+        m = inner >= 0
+        np.add.at(closure, inner[m], -self.face_area[m, None] * self.face_normal[m])
+        scale = np.abs(self.face_area).max()
+        assert np.abs(closure).max() < 1e-9 * max(scale, 1.0), (
+            f"cell closure violated: max {np.abs(closure).max():.3e}"
+        )

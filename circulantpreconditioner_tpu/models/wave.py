@@ -1,0 +1,134 @@
+"""Linear wave system ∂t(p,q) + div F = 0 — problem class and steppers.
+
+Capability parity with the reference's WaveSystem stack
+(src/WaveSystem.cxx + the four WaveSystem_SphericalExplosion drivers):
+- physics constants p0=155e5, c0=700 (src/WaveSystem.hxx:16-19; note the
+  reference's rho0 = p0/c0*c0 evaluates left-to-right to p0 — unused in the
+  solves, reproduced here only as documentation),
+- spherical-explosion IC: p=155e5 inside r<0.3 else 70e5, velocity 0
+  (WaveSystem.cxx:25-76),
+- dt = cfl · minRatioVolSurf / c0 (WaveSystem_..._expl_seq.cxx:72),
+- block upwind divergence (ops/assembly.py) with Wall/Periodic/Neumann BCs,
+- explicit SpMV stepping, implicit GMRES + {none, pbjacobi, ILU0, block-
+  circulant} preconditioning, and — beyond the reference — a block-circulant
+  FFT DIRECT solver on periodic structured grids.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from circulantpreconditioner_tpu.mesh.core import Mesh
+from circulantpreconditioner_tpu.ops.assembly import wave_block_stencil, wave_divergence_bsr
+from circulantpreconditioner_tpu.ops.circulant import BlockCirculantOperator
+from circulantpreconditioner_tpu.ops.csr import BSRMatrix
+from circulantpreconditioner_tpu.solvers.gmres import make_gmres
+
+P0 = 155e5  # reference pressure (pressurised vessel), WaveSystem.hxx:16
+C0 = 700.0  # sound speed, WaveSystem.hxx:17
+
+
+def spherical_explosion_wave(mesh: Mesh, p_in: float = P0, p_out: float = 70e5,
+                             rmax: float = 0.3) -> np.ndarray:
+    """(nC, dim+1) state: pressure + zero velocity (WaveSystem.cxx:25-76)."""
+    bbox = mesh.bbox()
+    center = bbox.mean(axis=1)
+    r = np.linalg.norm(mesh.cell_center - center[None, :], axis=1)
+    U = np.zeros((mesh.n_cells, mesh.dim + 1))
+    U[:, 0] = np.where(r < rmax, p_in, p_out)
+    return U
+
+
+class WaveSystem:
+    def __init__(
+        self,
+        mesh: Mesh,
+        c0: float = C0,
+        cfl: float | None = None,
+        dt: float | None = None,
+        dtype=jnp.float32,
+    ):
+        self.mesh = mesh
+        self.dim = mesh.dim
+        self.c0 = float(c0)
+        self.nb = mesh.dim + 1
+        self.dtype = dtype
+        if dt is not None:
+            self.dt = float(dt)
+        else:
+            if cfl is None:
+                cfl = 1.0 / mesh.dim  # explicit-driver default (..._expl_seq.cxx:177)
+            self.dt = float(cfl * mesh.min_ratio_vol_surf() / self.c0)
+
+    def initial_state(self) -> jax.Array:
+        """Flat cell-major state (nC·(dim+1),) matching the reference's
+        interleaved j·nbComp+comp layout."""
+        return jnp.asarray(spherical_explosion_wave(self.mesh).reshape(-1), dtype=self.dtype)
+
+    @cached_property
+    def divergence(self) -> BSRMatrix:
+        return wave_divergence_bsr(self.mesh, self.dt, self.c0, dtype=self.dtype)
+
+    @cached_property
+    def block_circulant_operator(self) -> BlockCirculantOperator:
+        """Direct block-circulant solver of I + D on a periodic structured
+        grid — the 'block-circulant' goal of the reference project, realized."""
+        if not self.mesh.is_structured:
+            raise ValueError("block_circulant_operator requires a structured mesh")
+        h = np.asarray(self.mesh.spacing)  # type: ignore[attr-defined]
+        offsets, blocks = wave_block_stencil(self.dim, self.dt, self.c0, h)
+        shape_zyx = tuple(reversed(self.mesh.structured_shape))
+        return BlockCirculantOperator.from_stencil(shape_zyx, offsets, blocks, dtype=self.dtype)
+
+    # --- steppers -----------------------------------------------------------
+    def explicit_stepper(self):
+        D = self.divergence
+
+        @jax.jit
+        def step(U):
+            dU = D.matvec(U)
+            return U - dU, jnp.linalg.norm(dU)
+
+        return step
+
+    def implicit_matvec(self):
+        D = self.divergence
+
+        def A(U):
+            return U + D.matvec(U)
+
+        return A
+
+    def implicit_stepper(self, M=None, rtol: float = 1e-5, atol: float = 1e-5,
+                         maxiter: int = 1000, restart: int = 30):
+        """GMRES (+ILU seq / BJACOBI mpi in the reference; any M here)."""
+        solver = make_gmres(self.implicit_matvec(), M, restart=restart,
+                            rtol=rtol, atol=atol, maxiter=maxiter)
+
+        @jax.jit
+        def step(U):
+            res = solver(U, U)
+            return res.x, jnp.linalg.norm(res.x - U), res.iters, res.resnorm
+
+        return step
+
+    def block_fft_stepper(self):
+        """Block-circulant direct solve per step (periodic structured grids)."""
+        op = self.block_circulant_operator
+
+        @jax.jit
+        def step(U):
+            U1 = op.solve(U)
+            return U1, jnp.linalg.norm(U1 - U)
+
+        return step
+
+    def split_fields(self, U) -> tuple[np.ndarray, np.ndarray]:
+        """Flat state → (pressure (nC,), velocity (nC, dim)) host arrays."""
+        Un = np.asarray(U).reshape(-1, self.nb)
+        return Un[:, 0], Un[:, 1:]
