@@ -90,12 +90,15 @@ class Mesh:
         return int(cnt.max())
 
     def bbox(self) -> np.ndarray:
-        """(dim, 2) bounding box of cell centers extended to cell extents if
-        structured bounds are known."""
+        """(dim, 2) domain bounding box: structured bounds if known, vertex
+        coordinates if the mesh carries them (unstructured generators /
+        readers), cell centers as a last resort."""
         if self.bounds is not None:
             return self.bounds
-        lo = self.cell_center.min(axis=0)
-        hi = self.cell_center.max(axis=0)
+        pts = getattr(self, "points", None)
+        src = pts[:, : self.dim] if pts is not None else self.cell_center
+        lo = src.min(axis=0)
+        hi = src.max(axis=0)
         return np.stack([lo, hi], axis=1)
 
     def validate(self) -> None:

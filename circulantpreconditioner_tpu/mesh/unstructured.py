@@ -1,0 +1,264 @@
+"""Unstructured mesh support: cell-vertex → face-major conversion + generators.
+
+Replaces the reference's dependence on SOLVERLAB/MEDCoupling mesh loading
+(`Mesh(filename.med)`) and the FVCA6 fixture families (meshes/README.md):
+instead of shipping MED binaries we provide *generators* for the same three
+families the reference benchmarks on — uniform hexahedra, tetrahedra (each
+hex split into 6), and Kershaw-distorted hexahedra — plus a Gmsh `.msh`
+(v2.2 ASCII) reader for external meshes.
+
+The cell-vertex → face-major conversion (`build_mesh_from_cells`) extracts
+shared faces by canonical vertex-set hashing, computes polygon areas/normals
+by fan triangulation, orients normals outward of the first incident cell,
+and derives cell volumes from the divergence theorem
+V = (1/3)|Σ_f (c_f · n_f) A_f| — valid for arbitrary (star-shaped) polyhedra
+including Kershaw cells. Everything is validated by Mesh.validate()'s
+closure check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from circulantpreconditioner_tpu.mesh.core import INTERIOR, Mesh
+
+# local vertex numbering of the 6 quad faces of a hexahedron with vertices
+# ordered (x fastest): 0:(0,0,0) 1:(1,0,0) 2:(1,1,0) 3:(0,1,0)
+#                      4:(0,0,1) 5:(1,0,1) 6:(1,1,1) 7:(0,1,1)
+_HEX_FACES = [
+    (0, 3, 2, 1),  # z-
+    (4, 5, 6, 7),  # z+
+    (0, 1, 5, 4),  # y-
+    (3, 7, 6, 2),  # y+
+    (0, 4, 7, 3),  # x-
+    (1, 2, 6, 5),  # x+
+]
+
+# 4 triangle faces of a tetrahedron (outward for positively-oriented tets)
+_TET_FACES = [(1, 2, 3), (0, 3, 2), (0, 1, 3), (0, 2, 1)]
+
+# splitting of a hex into 6 tets (all positively oriented, shared diagonal 0-6)
+_HEX_TO_TETS = [
+    (0, 1, 2, 6),
+    (0, 2, 3, 6),
+    (0, 3, 7, 6),
+    (0, 7, 4, 6),
+    (0, 4, 5, 6),
+    (0, 5, 1, 6),
+]
+
+
+def _polygon_area_normal_center(pts: np.ndarray):
+    """Fan triangulation around the vertex centroid; returns (area, unit
+    normal, area-weighted centroid). Works for planar and mildly non-planar
+    quads (Kershaw)."""
+    c = pts.mean(axis=0)
+    total = np.zeros(3)
+    center = np.zeros(3)
+    k = len(pts)
+    for i in range(k):
+        a, b = pts[i], pts[(i + 1) % k]
+        tri_n = 0.5 * np.cross(a - c, b - c)
+        total += tri_n
+        tri_area = np.linalg.norm(tri_n)
+        center += tri_area * (a + b + c) / 3.0
+    area = np.linalg.norm(total)
+    if area < 1e-300:
+        raise ValueError("degenerate face")
+    return area, total / area, center / max(area, 1e-300)
+
+
+def build_mesh_from_cells(
+    points: np.ndarray,  # (nV, 3) (or (nV, dim))
+    cells: list[tuple[int, ...]],  # vertex tuples per cell
+    cell_faces: list[list[tuple[int, ...]]] | None = None,  # local face defs per cell
+    default_group: str = "Wall",
+    name: str = "unstructured",
+) -> Mesh:
+    """Generic converter. If `cell_faces` is None, cells are assumed hexes
+    (8 vertices) or tets (4 vertices) and the canonical face tables used."""
+    points = np.asarray(points, dtype=np.float64)
+    dim = points.shape[1]
+    if dim == 2:
+        points = np.concatenate([points, np.zeros((len(points), 1))], axis=1)
+
+    n_cells = len(cells)
+    face_map: dict[tuple[int, ...], int] = {}
+    f_vertices: list[tuple[int, ...]] = []
+    f_cells: list[list[int]] = []
+
+    for ci, cv in enumerate(cells):
+        if cell_faces is not None:
+            local = cell_faces[ci]
+        elif len(cv) == 8:
+            local = _HEX_FACES
+        elif len(cv) == 4:
+            local = _TET_FACES
+        else:
+            raise ValueError(f"cell {ci}: unsupported vertex count {len(cv)}")
+        for lf in local:
+            gv = tuple(cv[i] for i in lf)
+            key = tuple(sorted(gv))
+            j = face_map.get(key)
+            if j is None:
+                face_map[key] = len(f_vertices)
+                f_vertices.append(gv)
+                f_cells.append([ci])
+            else:
+                f_cells[j].append(ci)
+
+    nF = len(f_vertices)
+    face_cells = np.full((nF, 2), -1, dtype=np.int64)
+    face_normal = np.zeros((nF, 3))
+    face_area = np.zeros(nF)
+    face_center = np.zeros((nF, 3))
+
+    # cell centroids (vertex mean — adequate for orientation tests)
+    cell_centroid = np.array([points[list(cv)].mean(axis=0) for cv in cells])
+
+    for f, (gv, cl) in enumerate(zip(f_vertices, f_cells)):
+        if len(cl) > 2:
+            raise ValueError(f"face {f} shared by {len(cl)} cells — broken mesh")
+        area, nrm, ctr = _polygon_area_normal_center(points[list(gv)])
+        c0 = cl[0]
+        if np.dot(nrm, ctr - cell_centroid[c0]) < 0:
+            nrm = -nrm
+        face_cells[f, 0] = c0
+        if len(cl) == 2:
+            face_cells[f, 1] = cl[1]
+        face_normal[f] = nrm
+        face_area[f] = area
+        face_center[f] = ctr
+
+    # cell volumes via divergence theorem over each cell's faces
+    cell_volume = np.zeros(n_cells)
+    for f in range(nF):
+        contrib = face_area[f] * np.dot(face_center[f], face_normal[f]) / 3.0
+        cell_volume[face_cells[f, 0]] += contrib
+        if face_cells[f, 1] >= 0:
+            cell_volume[face_cells[f, 1]] -= contrib
+
+    groups = {default_group: 1}
+    face_group = np.where(face_cells[:, 1] < 0, 1, INTERIOR).astype(np.int32)
+
+    cell_center = np.zeros((n_cells, 3))
+    # volume-consistent centroid: mean of area-weighted face centroids is a
+    # decent approximation; keep vertex centroid (used only for ICs/plots)
+    cell_center[:] = cell_centroid
+
+    mesh = Mesh(
+        dim=3,
+        cell_center=cell_center[:, :3],
+        cell_volume=cell_volume,
+        face_cells=face_cells,
+        face_normal=face_normal,
+        face_area=face_area,
+        face_center=face_center,
+        face_group=face_group,
+        groups=groups,
+        periodic_twin=None,
+        structured_shape=None,
+        bounds=None,
+        name=name,
+    )
+    mesh.points = points  # type: ignore[attr-defined]
+    mesh.cell_vertices = cells  # type: ignore[attr-defined]
+    return mesh
+
+
+def _hex_grid_points_cells(bounds, n, warp=None):
+    nx, ny, nz = n
+    bounds = np.asarray(bounds, dtype=np.float64).reshape(3, 2)
+    xs = [np.linspace(bounds[d, 0], bounds[d, 1], n[d] + 1) for d in range(3)]
+    Z, Y, X = np.meshgrid(xs[2], xs[1], xs[0], indexing="ij")
+    pts = np.stack([X.reshape(-1), Y.reshape(-1), Z.reshape(-1)], axis=1)
+    if warp is not None:
+        pts = warp(pts)
+
+    def vid(i, j, k):
+        return (k * (ny + 1) + j) * (nx + 1) + i
+
+    cells = []
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                cells.append(
+                    (
+                        vid(i, j, k), vid(i + 1, j, k), vid(i + 1, j + 1, k), vid(i, j + 1, k),
+                        vid(i, j, k + 1), vid(i + 1, j, k + 1), vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1),
+                    )
+                )
+    return pts, cells
+
+
+def hex_mesh(bounds, n, name=None) -> Mesh:
+    """Uniform hexahedra as an *unstructured* mesh (FVCA6 'mesh_hexa' family,
+    meshes/README.md:16-19) — exercises the generic face-extraction path."""
+    pts, cells = _hex_grid_points_cells(bounds, n)
+    return build_mesh_from_cells(pts, cells, name=name or f"hexa_{'x'.join(map(str, n))}")
+
+
+def tet_mesh(bounds, n, name=None) -> Mesh:
+    """Each hex split into 6 tetrahedra (FVCA6 'gentle tetrahedra' analog,
+    meshes/README.md:23-26)."""
+    pts, hexes = _hex_grid_points_cells(bounds, n)
+    cells = [tuple(h[i] for i in tet) for h in hexes for tet in _HEX_TO_TETS]
+    return build_mesh_from_cells(pts, cells, name=name or f"tetra_{'x'.join(map(str, n))}")
+
+
+def kershaw_mesh(bounds, n, eps: float = 0.3, name=None) -> Mesh:
+    """Kershaw-distorted hexahedra (FVCA6 'Kershaw' family analog,
+    meshes/README.md:30-40): the z coordinate is sheared by a kinked profile
+    whose amplitude depends on (x, y), producing the classic zig-zag layers
+    that break mesh-aligned solvers. eps ∈ (0,1] controls severity (1 =
+    uniform, smaller = more distorted)."""
+    bounds = np.asarray(bounds, dtype=np.float64).reshape(3, 2)
+    lo, hi = bounds[:, 0], bounds[:, 1]
+
+    def warp(pts):
+        # normalize to unit cube
+        u = (pts - lo) / (hi - lo)
+        x, y, z = u[:, 0], u[:, 1], u[:, 2]
+        # kinked shear: triangular wave in x and y scales the z displacement
+        tri = lambda t: 1.0 - 2.0 * np.abs(t - np.floor(t + 0.5))
+        amp = 0.5 * (1.0 - eps) * tri(2 * x) * tri(2 * y)
+        zn = z + amp * np.sin(2 * np.pi * z) / (2 * np.pi) * 4.0
+        zn = np.clip(zn, 0.0, 1.0)
+        out = u.copy()
+        out[:, 2] = zn
+        return lo + out * (hi - lo)
+
+    pts, cells = _hex_grid_points_cells(bounds, n, warp=warp)
+    m = build_mesh_from_cells(pts, cells, name=name or f"kershaw_{'x'.join(map(str, n))}")
+    return m
+
+
+def read_gmsh(path: str, name=None) -> Mesh:
+    """Minimal Gmsh MSH 2.2 ASCII reader: nodes + 3D elements (tet type 4,
+    hex type 5). Replaces the reference's MED loader for external meshes."""
+    with open(path) as fh:
+        lines = iter(fh.read().splitlines())
+    nodes = {}
+    cells = []
+    for line in lines:
+        if line.strip() == "$Nodes":
+            count = int(next(lines))
+            for _ in range(count):
+                parts = next(lines).split()
+                nodes[int(parts[0])] = [float(parts[1]), float(parts[2]), float(parts[3])]
+        elif line.strip() == "$Elements":
+            count = int(next(lines))
+            for _ in range(count):
+                parts = next(lines).split()
+                etype = int(parts[1])
+                ntags = int(parts[2])
+                conn = [int(v) for v in parts[3 + ntags:]]
+                if etype == 4:  # tet
+                    cells.append(tuple(conn))
+                elif etype == 5:  # hex
+                    cells.append(tuple(conn))
+    ids = sorted(nodes)
+    remap = {v: i for i, v in enumerate(ids)}
+    points = np.array([nodes[v] for v in ids])
+    cells = [tuple(remap[v] for v in c) for c in cells]
+    return build_mesh_from_cells(points, cells, name=name or path)

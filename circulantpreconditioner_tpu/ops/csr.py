@@ -103,8 +103,10 @@ class CSRMatrix:
 
     @jax.jit
     def matvec(self, x: jax.Array) -> jax.Array:
-        """y = A x via gather + segment_sum (one fused XLA scatter-add)."""
-        contrib = self.data * x[self.indices]
+        """y = A x via gather + segment_sum (one fused XLA scatter-add).
+        x may be (n,) or (n, k) — columns are transformed independently."""
+        gathered = x[self.indices]
+        contrib = (self.data[:, None] * gathered) if x.ndim == 2 else self.data * gathered
         return jax.ops.segment_sum(contrib, self.row_ids, num_segments=self.shape[0])
 
     def __matmul__(self, x):

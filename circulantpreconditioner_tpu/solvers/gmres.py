@@ -59,15 +59,26 @@ def make_gmres(
     atol: float = 1e-5,
     maxiter: int = 1000,
     divtol: float = 1e4,
+    side: str = "left",
 ) -> Callable[[jax.Array, jax.Array | None], KrylovResult]:
     """Build a jitted GMRES solver for a fixed operator/preconditioner pair.
 
     `A` and `M` may close over pytrees of device arrays (CSR matrices,
     circulant spectra); the returned function is jitted once per (shape,
-    dtype) of b. Left preconditioning: solves M⁻¹A x = M⁻¹ b.
+    dtype) of b.
+
+    side="left" (PETSc default): solves M⁻¹A x = M⁻¹ b, converging on the
+    PRECONDITIONED residual — matches the reference's KSP configs.
+    side="right": solves A M⁻¹ y = b with x = M⁻¹ y, converging on the TRUE
+    residual — required for rank-deficient preconditioners like the
+    projection-circulant PC (a singular M makes the left-preconditioned
+    test pass spuriously while the true residual is large).
     """
     if M is None:
         M = _identity
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    right = side == "right"
     m = int(restart)
 
     @jax.jit
@@ -77,14 +88,17 @@ def make_gmres(
         x = jnp.zeros_like(b) if x0 is None else x0
         eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
-        b_pre = M(b)
+        b_pre = b if right else M(b)
         bnorm = jnp.linalg.norm(b_pre)
         tol = jnp.maximum(rtol * bnorm, atol)
         dtol = divtol * jnp.maximum(bnorm, eps)
 
+        def precond_op(v):
+            return A(M(v)) if right else M(A(v))
+
         def arnoldi_cycle(x, total_it):
             """One restart cycle; returns (x_new, res, iters_done, diverged)."""
-            r = M(b - A(x))
+            r = (b - A(x)) if right else M(b - A(x))
             beta = jnp.linalg.norm(r)
             V = jnp.zeros((m + 1, n), dtype)
             V = V.at[0].set(r / jnp.maximum(beta, eps))
@@ -105,7 +119,7 @@ def make_gmres(
 
             def inner_body(st):
                 V, H, cs, sn, g, j, _res = st
-                w = M(A(V[j]))
+                w = precond_op(V[j])
                 # Modified Gram-Schmidt: rows of V beyond j are zero, so the
                 # full-matrix projection only removes the active basis.
                 h = V @ w  # (m+1,)
@@ -149,7 +163,8 @@ def make_gmres(
             R = R + jnp.diag(jnp.where(jnp.abs(jnp.diag(R)) < eps, eps, 0.0).astype(dtype))
             gm = jnp.where(diag_ok, g[:m], 0.0)
             y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
-            x_new = x + V[:m].T @ y
+            corr = V[:m].T @ y
+            x_new = x + (M(corr) if right else corr)
             return x_new, res, j, res > dtol
 
         def outer_cond(st):
@@ -163,7 +178,7 @@ def make_gmres(
             x, res, j, diverged = arnoldi_cycle(x, it)
             return (x, res, it + j, diverged)
 
-        r0 = M(b - A(x))
+        r0 = (b - A(x)) if right else M(b - A(x))
         res0 = jnp.linalg.norm(r0)
         x, res, it, diverged = lax.while_loop(
             outer_cond, outer_body, (x, res0, jnp.array(0, jnp.int32), jnp.array(False))
@@ -183,7 +198,9 @@ def gmres(
     rtol: float = 1e-5,
     atol: float = 1e-5,
     maxiter: int = 1000,
+    side: str = "left",
 ) -> KrylovResult:
     """One-shot convenience wrapper (re-traces per distinct A/M closure —
     prefer make_gmres in timestepping loops)."""
-    return make_gmres(A, M, restart=restart, rtol=rtol, atol=atol, maxiter=maxiter)(b, x0)
+    return make_gmres(A, M, restart=restart, rtol=rtol, atol=atol, maxiter=maxiter,
+                      side=side)(b, x0)
