@@ -51,6 +51,7 @@ def main() -> None:
         CirculantTransportOperator,
         np_eigenvalue_diagonal,
     )
+    from circulantpreconditioner_tpu.ops.dft_matmul import MatmulCirculantSolver
     from circulantpreconditioner_tpu.utils import retry_transient
 
     n = 100  # the reference's "gros calcul" grid (tests/CMakeLists.txt:42)
@@ -58,25 +59,40 @@ def main() -> None:
     dt = (1e3 / 3) * (h / 6)
     lambdas_zyx = (0.0, 0.0, 1.0 * dt / h)
     op = CirculantTransportOperator.create((n, n, n), lambdas_zyx, jnp.float32)
+    # DFT-by-matmul on the MXU in full-f32 precision — the TPU-native solve
+    # path (the XLA FFT lowering is ~30-50x slower on this chip)
+    solver = MatmulCirculantSolver.from_operator(op, precision="highest")
 
     rng = np.random.default_rng(1)
     u0 = jnp.asarray(rng.random((n, n, n)).astype(np.float32) * 50 + 600)
 
     def step(u):
-        u1 = op.solve(u)
+        u1 = solver.solve(u)
         return u1, jnp.float32(0.0)
 
     steps = 100
+
+    @jax.jit
+    def run(u):
+        def body(v, _):
+            return step(v)[0], None
+
+        out, _ = jax.lax.scan(body, u, None, length=steps)
+        return out
+
     # compile + warmup (transient-retry for the axon tunnel)
-    retry_transient(lambda: scan_steps(step, u0, 2))
+    print("bench: compiling scan...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    uf, _ = scan_steps(step, u0, steps)
+    retry_transient(lambda: run(u0))
+    print(f"bench: compile+warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    uf = run(u0)
     jax.block_until_ready(uf)
     per_step = (time.perf_counter() - t0) / steps
     solves_per_s = 1.0 / per_step
 
     # correctness gate: residual of one solve via the stencil matvec
-    u1 = retry_transient(lambda: op.solve(u0))
+    u1 = retry_transient(lambda: solver.solve(u0))
     r = retry_transient(
         lambda: jax.jit(lambda a, b: jnp.full((8, 128), jnp.linalg.norm(op.matvec(a) - b) / jnp.linalg.norm(b)))(u1, u0)
     )

@@ -1,0 +1,91 @@
+"""Shared CLI plumbing for the driver executables.
+
+The reference drivers take `[mesh.med | nx [ny [nz]]] [resultDir]` positional
+args (e.g. tests/TransportEquationFFT_...cxx:183-225, domain [-0.5,0.5]^d).
+Here: positional nx [ny [nz]] with the same default domain, plus options for
+the unstructured families (--mesh-family hexa|tetra|kershaw or --msh FILE)
+and output/checkpoint directories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from circulantpreconditioner_tpu.io import save_checkpoint, write_vtk
+from circulantpreconditioner_tpu.mesh import cartesian_mesh
+from circulantpreconditioner_tpu.mesh.unstructured import (
+    hex_mesh,
+    kershaw_mesh,
+    read_gmsh,
+    tet_mesh,
+)
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("n", nargs="*", type=int, help="nx [ny [nz]] (cartesian [-0.5,0.5]^d)")
+    p.add_argument("--mesh-family", choices=["cartesian", "hexa", "tetra", "kershaw"],
+                   default="cartesian")
+    p.add_argument("--msh", help="Gmsh .msh v2.2 file (overrides n / family)")
+    p.add_argument("--periodic", action="store_true", help="periodic BCs (cartesian only)")
+    p.add_argument("--kershaw-eps", type=float, default=0.3)
+    p.add_argument("--tmax", type=float, default=0.05)
+    p.add_argument("--ntmax", type=int, default=2_000_000)
+    p.add_argument("--cfl", type=float, default=None)
+    p.add_argument("--precision", type=float, default=1e-5,
+                   help="stationarity threshold on ||dU||_2 (reference: 1e-5)")
+    p.add_argument("--output-freq", type=int, default=1)
+    p.add_argument("--result-dir", default="./results")
+    p.add_argument("--vtk", action="store_true", help="write VTK snapshots")
+    p.add_argument("--checkpoint-freq", type=int, default=0,
+                   help="save (state,t,it) every N steps (0 = off)")
+    p.add_argument("--f64", action="store_true", help="float64 (CPU only)")
+    return p
+
+
+def build_mesh(args):
+    if args.msh:
+        return read_gmsh(args.msh)
+    n = args.n or [50, 50]  # reference default 50x50 square
+    dim = len(n)
+    bounds = ((-0.5, 0.5),) * max(dim, 3 if args.mesh_family != "cartesian" else dim)
+    if args.mesh_family == "cartesian":
+        return cartesian_mesh(((-0.5, 0.5),) * dim, n, periodic=args.periodic)
+    n3 = (n + [n[-1]] * 3)[:3]
+    if args.mesh_family == "hexa":
+        return hex_mesh(bounds[:3], n3)
+    if args.mesh_family == "tetra":
+        return tet_mesh(bounds[:3], n3)
+    return kershaw_mesh(bounds[:3], n3, eps=args.kershaw_eps)
+
+
+def setup_dtype(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
+def make_output_cb(args, mesh, split=None, prefix="field"):
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    def cb(it, t, U, extras):
+        if args.vtk:
+            if split is not None:
+                p, v = split(U)
+                fields = {"pressure": p, "velocity": v}
+            else:
+                fields = {prefix: np.asarray(U)}
+            write_vtk(os.path.join(args.result_dir, f"{mesh.name}_{prefix}_{it:06d}.vtk"),
+                      mesh, fields, time=t)
+        if args.checkpoint_freq and it % args.checkpoint_freq == 0:
+            save_checkpoint(os.path.join(args.result_dir, f"{mesh.name}_ckpt.npz"),
+                            U, t, it)
+
+    return cb

@@ -1,0 +1,89 @@
+"""WaveSystem_SphericalExplosion implicit driver analog.
+
+Reference: tests/WaveSystem_SphericalExplosion_impl_{seq,mpi}.cxx — implicit
+(I + D)Uⁿ⁺¹ = Uⁿ via GMRES, cfl=1e3/dim, tol 1e-5, maxits 1000; PC = ILU (seq)
+/ BJACOBI (mpi). Selectable here: ilu0, pbjacobi, bjacobi-ilu0, the block-
+circulant direct solver (periodic cartesian), or the additive two-level
+block-circulant projection PC (unstructured).
+
+    python -m circulantpreconditioner_tpu.drivers.wave_implicit 50 50 --pc ilu0
+    python -m ... --mesh-family kershaw 8 8 8 --pc circulant2l
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from circulantpreconditioner_tpu.drivers.common import base_parser, build_mesh, make_output_cb, setup_dtype
+from circulantpreconditioner_tpu.models import WaveSystem, run_time_loop
+from circulantpreconditioner_tpu.solvers import preconditioners as pcs
+
+
+def main(argv=None):
+    p = base_parser(__doc__)
+    p.add_argument("--pc", choices=["none", "pbjacobi", "ilu0", "bjacobi", "blockfft",
+                                    "circulant2l"], default="ilu0")
+    p.add_argument("--n-blocks", type=int, default=4, help="bjacobi partition count")
+    p.add_argument("--rtol", type=float, default=1e-5)
+    p.add_argument("--atol", type=float, default=1e-5)
+    p.add_argument("--maxits", type=int, default=1000)
+    args = p.parse_args(argv)
+    dtype = setup_dtype(args)
+    mesh = build_mesh(args)
+    model = WaveSystem(mesh, cfl=args.cfl or 1e3 / mesh.dim, dtype=dtype)
+    print(f"-- implicit wave: mesh {mesh.name} ({mesh.n_cells} cells), "
+          f"dt={model.dt:.4g}, pc={args.pc}")
+
+    M = None
+    side = "left"
+    if args.pc == "blockfft":
+        # direct block-circulant solve replaces GMRES entirely
+        step = model.block_fft_stepper()
+    else:
+        if args.pc == "pbjacobi":
+            M = pcs.pbjacobi(model.divergence, shift=1.0)
+        elif args.pc == "ilu0":
+            import scipy.sparse as sp
+
+            from circulantpreconditioner_tpu.ops.csr import CSRMatrix
+
+            A_I = CSRMatrix.from_scipy(
+                (sp.eye(model.divergence.shape[0])
+                 + model.divergence.to_csr(dtype).to_scipy()).tocsr(), dtype=dtype)
+            M = pcs.ilu0(A_I).apply
+        elif args.pc == "bjacobi":
+            import scipy.sparse as sp
+
+            from circulantpreconditioner_tpu.ops.csr import CSRMatrix
+
+            A_I = CSRMatrix.from_scipy(
+                (sp.eye(model.divergence.shape[0])
+                 + model.divergence.to_csr(dtype).to_scipy()).tocsr(), dtype=dtype)
+            M = pcs.block_jacobi_ilu0(A_I, args.n_blocks)
+        elif args.pc == "circulant2l":
+            from circulantpreconditioner_tpu.solvers.circulant_pc import (
+                BlockCirculantProjectionPC,
+            )
+
+            coarse = BlockCirculantProjectionPC(mesh, model.dt, model.c0, dtype=dtype)
+            M = pcs.additive(coarse.apply, pcs.pbjacobi(model.divergence, shift=1.0))
+            side = "right"
+        step = model.implicit_stepper(M=M, rtol=args.rtol, atol=args.atol,
+                                      maxiter=args.maxits, side=side)
+
+    res = run_time_loop(
+        step, model.initial_state(), model.dt, tmax=args.tmax, ntmax=args.ntmax,
+        precision=args.precision, output_freq=args.output_freq,
+        on_output=make_output_cb(args, mesh, split=model.split_fields, prefix="wave"),
+    )
+    pfin, vfin = model.split_fields(res.state)
+    its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
+    print(f"\nEnd at it={res.iterations} t={res.time:.6g} stationary={res.stationary}")
+    print(f"pressure range [{pfin.min():.6g}, {pfin.max():.6g}]")
+    if its:
+        print(f"GMRES iterations per step: median {np.median(its):.0f}, max {np.max(its):.0f}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

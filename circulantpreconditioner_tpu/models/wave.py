@@ -105,10 +105,10 @@ class WaveSystem:
         return A
 
     def implicit_stepper(self, M=None, rtol: float = 1e-5, atol: float = 1e-5,
-                         maxiter: int = 1000, restart: int = 30):
+                         maxiter: int = 1000, restart: int = 30, side: str = "left"):
         """GMRES (+ILU seq / BJACOBI mpi in the reference; any M here)."""
         solver = make_gmres(self.implicit_matvec(), M, restart=restart,
-                            rtol=rtol, atol=atol, maxiter=maxiter)
+                            rtol=rtol, atol=atol, maxiter=maxiter, side=side)
 
         @jax.jit
         def step(U):

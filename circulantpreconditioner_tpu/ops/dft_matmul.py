@@ -69,17 +69,15 @@ def _rdft_mats(n: int, dtype):
     )
 
 
-def _axis_cdft(re, im, C, S, axis, ndim):
+def _axis_cdft(re, im, C, S, axis, ndim, precision):
     """Complex DFT along `axis` by matmul: (re+i·im) ← (re+i·im)·(C+i·S)."""
     sub = "zyx"[3 - ndim:]
     a = sub[axis]
     spec = f"{sub},{a}k->{sub.replace(a, 'k')}"
-    re2 = jnp.einsum(spec, re, C, preferred_element_type=re.dtype) - jnp.einsum(
-        spec, im, S, preferred_element_type=re.dtype
-    )
-    im2 = jnp.einsum(spec, re, S, preferred_element_type=re.dtype) + jnp.einsum(
-        spec, im, C, preferred_element_type=re.dtype
-    )
+    ein = lambda x, M: jnp.einsum(spec, x, M, preferred_element_type=re.dtype,
+                                  precision=precision)
+    re2 = ein(re, C) - ein(im, S)
+    im2 = ein(re, S) + ein(im, C)
     return re2, im2
 
 
@@ -91,17 +89,23 @@ class MatmulCirculantSolver:
 
     shape_zyx: tuple[int, ...]
     arrays: tuple  # (lam parts + DFT matrices), all real device arrays
+    # "highest" (full f32, 6-pass bf16 decomposition — direct-solver grade) or
+    # "default" (fast bf16-class MXU passes — preconditioner grade: a sloppy
+    # M⁻¹ still preconditions, and GMRES convergence is tested on the true
+    # residual)
+    precision: str = "highest"
 
     def tree_flatten(self):
-        return (self.arrays,), (self.shape_zyx,)
+        return (self.arrays,), (self.shape_zyx, self.precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (arrays,) = children
-        return cls(aux[0], arrays)
+        return cls(aux[0], arrays, aux[1])
 
     @classmethod
-    def create(cls, shape_zyx: Sequence[int], lambdas_zyx: Sequence[float], dtype=jnp.float32):
+    def create(cls, shape_zyx: Sequence[int], lambdas_zyx: Sequence[float], dtype=jnp.float32,
+               precision: str = "highest"):
         shape_zyx = tuple(int(v) for v in shape_zyx)
         lam = np_eigenvalue_diagonal(shape_zyx, lambdas_zyx, rfft=True)
         den = (lam.real**2 + lam.imag**2)
@@ -112,11 +116,13 @@ class MatmulCirculantSolver:
         mats = []
         for n in shape_zyx[:-1]:
             mats.append(_dft_mats(n, dtype))
-        return cls(shape_zyx, (inv_re, inv_im, F_re, F_im, B_re, B_im, tuple(mats)))
+        return cls(shape_zyx, (inv_re, inv_im, F_re, F_im, B_re, B_im, tuple(mats)),
+                   precision)
 
     @classmethod
-    def from_operator(cls, op: CirculantTransportOperator):
-        return cls.create(op.shape_zyx, op.lambdas_zyx, dtype=op.lam_rfft_re.dtype)
+    def from_operator(cls, op: CirculantTransportOperator, precision: str = "highest"):
+        return cls.create(op.shape_zyx, op.lambdas_zyx, dtype=op.lam_rfft_re.dtype,
+                          precision=precision)
 
     @jax.jit
     def solve(self, b: jax.Array) -> jax.Array:
@@ -124,25 +130,26 @@ class MatmulCirculantSolver:
         was_flat = b.ndim == 1
         g = b.reshape(self.shape_zyx)
         inv_re, inv_im, F_re, F_im, B_re, B_im, mats = self.arrays
+        prec = (jax.lax.Precision.HIGHEST if self.precision == "highest"
+                else jax.lax.Precision.DEFAULT)
         ndim = len(self.shape_zyx)
         sub = "zyx"[3 - ndim:]
         # forward half-spectrum transform along x (real input)
         spec_x = f"{sub},xk->{sub[:-1]}k"
-        re = jnp.einsum(spec_x, g, F_re, preferred_element_type=g.dtype)
-        im = jnp.einsum(spec_x, g, F_im, preferred_element_type=g.dtype)
+        re = jnp.einsum(spec_x, g, F_re, preferred_element_type=g.dtype, precision=prec)
+        im = jnp.einsum(spec_x, g, F_im, preferred_element_type=g.dtype, precision=prec)
         # forward full transforms along remaining axes (z, y)
         for ax_i, (C, S, _, _) in enumerate(mats):
-            re, im = _axis_cdft(re, im, C, S, ax_i, ndim)
+            re, im = _axis_cdft(re, im, C, S, ax_i, ndim, prec)
         # multiply by precomputed 1/Λ
         re, im = re * inv_re - im * inv_im, re * inv_im + im * inv_re
         # inverse transforms along z, y
         for ax_i, (_, _, Ci, Si) in enumerate(mats):
-            re, im = _axis_cdft(re, im, Ci, Si, ax_i, ndim)
+            re, im = _axis_cdft(re, im, Ci, Si, ax_i, ndim, prec)
         # inverse half-spectrum transform back to real along x
         spec_b = f"{sub[:-1]}k,kx->{sub}"
-        x = jnp.einsum(spec_b, re, B_re, preferred_element_type=g.dtype) + jnp.einsum(
-            spec_b, im, B_im, preferred_element_type=g.dtype
-        )
+        x = jnp.einsum(spec_b, re, B_re, preferred_element_type=g.dtype, precision=prec) + \
+            jnp.einsum(spec_b, im, B_im, preferred_element_type=g.dtype, precision=prec)
         return x.reshape(-1) if was_flat else x
 
     def as_preconditioner(self):

@@ -1,0 +1,67 @@
+"""Driver CLI smoke tests — the pytest analog of the reference's ctest runs
+(each driver executable on a small default problem, tests/CMakeLists.txt:29-42)
+but with numerical checks instead of exit-code-only."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from circulantpreconditioner_tpu.drivers import (  # noqa: F401  (import check)
+    transport_fft,
+    transport_implicit,
+    wave_explicit,
+    wave_implicit,
+)
+
+
+def _common(tmp_path, extra):
+    return ["--tmax", "0.002", "--ntmax", "5", "--result-dir", str(tmp_path)] + extra
+
+
+def test_transport_fft_driver(tmp_path):
+    res = transport_fft.main(["10", "10", "--method", "fft"] + _common(tmp_path, []))
+    u = np.asarray(res.state)
+    assert u.min() > 599.0 and u.max() < 651.0
+
+
+def test_transport_implicit_driver(tmp_path):
+    res = transport_implicit.main(["10", "10"] + _common(tmp_path, []))
+    assert np.isfinite(np.asarray(res.state)).all()
+
+
+def test_transport_implicit_kershaw_circulant_pc(tmp_path):
+    res = transport_implicit.main(
+        ["4", "4", "4", "--mesh-family", "kershaw", "--pc", "circulant"]
+        + _common(tmp_path, [])
+    )
+    assert np.isfinite(np.asarray(res.state)).all()
+
+
+def test_wave_explicit_driver_vtk(tmp_path):
+    res = wave_explicit.main(["8", "8", "--vtk", "--output-freq", "2"] + _common(tmp_path, []))
+    assert np.isfinite(np.asarray(res.state)).all()
+    assert glob.glob(os.path.join(str(tmp_path), "*.vtk"))
+
+
+def test_wave_implicit_driver_ilu(tmp_path):
+    res = wave_implicit.main(["8", "8", "--pc", "ilu0"] + _common(tmp_path, []))
+    p, v = np.asarray(res.state).reshape(-1, 3)[:, 0], None
+    assert np.isfinite(p).all()
+
+
+def test_wave_implicit_blockfft_periodic(tmp_path):
+    res = wave_implicit.main(["8", "8", "--pc", "blockfft", "--periodic"] + _common(tmp_path, []))
+    assert np.isfinite(np.asarray(res.state)).all()
+
+
+def test_wave_implicit_checkpoint_resume(tmp_path):
+    from circulantpreconditioner_tpu.io import load_checkpoint
+
+    wave_implicit.main(["8", "8", "--pc", "pbjacobi", "--checkpoint-freq", "1"]
+                       + _common(tmp_path, []))
+    ckpts = glob.glob(os.path.join(str(tmp_path), "*_ckpt.npz"))
+    assert ckpts
+    state, t, it, _ = load_checkpoint(ckpts[0])
+    assert it >= 1 and t > 0 and np.isfinite(state).all()
