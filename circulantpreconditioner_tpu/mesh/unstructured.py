@@ -68,6 +68,97 @@ def _polygon_area_normal_center(pts: np.ndarray):
     return area, total / area, center / max(area, 1e-300)
 
 
+def _fast_build_homogeneous(points, cells_arr, default_group, name):
+    """Vectorized fast path for homogeneous hex/tet meshes: native (C++)
+    face extraction when available (native/fvcore.cpp), NumPy hashing
+    otherwise, and fully vectorized face geometry. The fan-triangulation
+    area vector Σ ½(aᵢ−c)×(aᵢ₊₁−c) is independent of the fan point c, so
+    padding triangles with a duplicated vertex is exact."""
+    from circulantpreconditioner_tpu.native import extract_faces
+
+    n_cells, nv = cells_arr.shape
+    out = extract_faces(cells_arr)
+    if out is None:
+        # NumPy fallback: sorted-vertex-key dedup via lexsort
+        table = _HEX_FACES if nv == 8 else _TET_FACES
+        faces = np.concatenate([cells_arr[:, list(f)] for f in table], axis=0)
+        if faces.shape[1] == 3:
+            faces = np.concatenate([faces, np.full((len(faces), 1), -1, np.int64)], axis=1)
+        owner = np.tile(np.arange(n_cells, dtype=np.int64), len(table))
+        key = np.sort(faces, axis=1)
+        order = np.lexsort(key.T[::-1])
+        key_s, faces_s, owner_s = key[order], faces[order], owner[order]
+        new = np.ones(len(key_s), dtype=bool)
+        new[1:] = (key_s[1:] != key_s[:-1]).any(axis=1)
+        fid = np.cumsum(new) - 1
+        nF = int(fid[-1]) + 1 if len(fid) else 0
+        fv = np.full((nF, 4), -1, dtype=np.int64)
+        fc = np.full((nF, 2), -1, dtype=np.int64)
+        first = new
+        fv[fid[first]] = faces_s[first]
+        fc[fid[first], 0] = owner_s[first]
+        second = ~new
+        if second.any():
+            counts = np.bincount(fid, minlength=nF)
+            if counts.max() > 2:
+                raise ValueError("broken mesh: face shared by >2 cells")
+            fc[fid[second], 1] = owner_s[second]
+    else:
+        fv, fc = out
+
+    nF = len(fv)
+    # geometry, vectorized: pad tri faces by repeating vertex 0
+    fvp = fv.copy()
+    pad = fvp[:, 3] < 0
+    fvp[pad, 3] = fvp[pad, 0]
+    P = points[fvp]  # (nF, 4, 3)
+    c = P.mean(axis=1)  # fan point (area vector independent of it)
+    a = P
+    b = P[:, [1, 2, 3, 0], :]
+    tri_n = 0.5 * np.cross(a - c[:, None, :], b - c[:, None, :])  # (nF,4,3)
+    total = tri_n.sum(axis=1)
+    area = np.linalg.norm(total, axis=1)
+    if (area < 1e-300).any():
+        raise ValueError("degenerate face")
+    normal = total / area[:, None]
+    tri_area = np.linalg.norm(tri_n, axis=2)
+    tri_ctr = (a + b + c[:, None, :]) / 3.0
+    center = (tri_area[:, :, None] * tri_ctr).sum(axis=1) / np.maximum(
+        tri_area.sum(axis=1), 1e-300
+    )[:, None]
+
+    cell_centroid = points[cells_arr].mean(axis=1)
+    flip = np.einsum("fd,fd->f", normal, center - cell_centroid[fc[:, 0]]) < 0
+    normal[flip] = -normal[flip]
+
+    cell_volume = np.zeros(n_cells)
+    contrib = area * np.einsum("fd,fd->f", center, normal) / 3.0
+    np.add.at(cell_volume, fc[:, 0], contrib)
+    m2 = fc[:, 1] >= 0
+    np.add.at(cell_volume, fc[m2, 1], -contrib[m2])
+
+    groups = {default_group: 1}
+    face_group = np.where(fc[:, 1] < 0, 1, INTERIOR).astype(np.int32)
+    mesh = Mesh(
+        dim=3,
+        cell_center=cell_centroid,
+        cell_volume=cell_volume,
+        face_cells=fc,
+        face_normal=normal,
+        face_area=area,
+        face_center=center,
+        face_group=face_group,
+        groups=groups,
+        periodic_twin=None,
+        structured_shape=None,
+        bounds=None,
+        name=name,
+    )
+    mesh.points = points  # type: ignore[attr-defined]
+    mesh.cell_vertices = [tuple(r) for r in cells_arr]  # type: ignore[attr-defined]
+    return mesh
+
+
 def build_mesh_from_cells(
     points: np.ndarray,  # (nV, 3) (or (nV, dim))
     cells: list[tuple[int, ...]],  # vertex tuples per cell
@@ -76,13 +167,20 @@ def build_mesh_from_cells(
     name: str = "unstructured",
 ) -> Mesh:
     """Generic converter. If `cell_faces` is None, cells are assumed hexes
-    (8 vertices) or tets (4 vertices) and the canonical face tables used."""
+    (8 vertices) or tets (4 vertices) and the canonical face tables used.
+    Homogeneous hex/tet meshes take the vectorized/native fast path."""
     points = np.asarray(points, dtype=np.float64)
     dim = points.shape[1]
     if dim == 2:
         points = np.concatenate([points, np.zeros((len(points), 1))], axis=1)
 
     n_cells = len(cells)
+    if cell_faces is None and n_cells:
+        sizes = {len(c) for c in cells}
+        if sizes in ({4}, {8}):
+            return _fast_build_homogeneous(
+                points, np.asarray(cells, dtype=np.int64), default_group, name
+            )
     face_map: dict[tuple[int, ...], int] = {}
     f_vertices: list[tuple[int, ...]] = []
     f_cells: list[list[int]] = []

@@ -165,15 +165,26 @@ class ILU0Preconditioner:
     """
 
     def __init__(self, A: CSRMatrix, dtype=None):
+        from circulantpreconditioner_tpu.native import ilu0_factor, level_schedule
+
         indptr = np.asarray(A.indptr)
         indices = np.asarray(A.indices)
         data = np.asarray(A.data, dtype=np.float64)
         n = A.shape[0]
-        f, diag_pos = _ilu0_factor_host(indptr, indices, data)
+        out = ilu0_factor(indptr, indices, data)  # native C++ core if built
+        if out is not None:
+            f, diag_pos = out
+        else:
+            f, diag_pos = _ilu0_factor_host(indptr, indices, data)
         dtype = dtype or A.data.dtype
 
         def build_tri(strict_lower: bool):
-            rows_levels = _level_schedule(indptr, indices, strict_lower, n)
+            lev = level_schedule(indptr, indices, strict_lower, n)
+            if lev is not None:
+                nlev = int(lev.max()) + 1 if n else 0
+                rows_levels = [np.nonzero(lev == l)[0] for l in range(nlev)]
+            else:
+                rows_levels = _level_schedule(indptr, indices, strict_lower, n)
             levels = []
             for rows in rows_levels:
                 # ELL-pack the strictly-lower (or strictly-upper) part of the rows
