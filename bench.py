@@ -46,13 +46,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from circulantpreconditioner_tpu.utils import enable_compile_cache
+
     # persistent compilation cache: the axon remote compile of the scan graph
     # has multi-minute variance; cache hits make reruns start in seconds
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
     from circulantpreconditioner_tpu.models.runner import scan_steps
     from circulantpreconditioner_tpu.ops.circulant import (

@@ -66,6 +66,9 @@ def setup_dtype(args):
     import jax
     import jax.numpy as jnp
 
+    from circulantpreconditioner_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     if args.f64:
         jax.config.update("jax_enable_x64", True)
         return jnp.float64

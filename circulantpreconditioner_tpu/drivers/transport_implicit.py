@@ -39,8 +39,10 @@ def main(argv=None):
         d = model.divergence.diagonal() + 1.0
         import jax.numpy as jnp
 
+        import jax
+
         dinv = 1.0 / d
-        M = lambda r: dinv * r
+        M = jax.tree_util.Partial(pcs._diag_apply, dinv)
     elif args.pc == "circulant":
         if mesh.is_structured and args.periodic:
             M = model.fft_operator.as_preconditioner()
@@ -53,8 +55,10 @@ def main(argv=None):
             # additive two-level: projection-circulant coarse + Jacobi smoother
             # (the bare projection PC is rank-deficient; see circulant_pc.py)
             coarse = CirculantProjectionPC(mesh, model.velocity, model.dt, dtype=dtype)
+            import jax
+
             dinv = 1.0 / (model.divergence.diagonal() + 1.0)
-            M = pcs.additive(coarse.apply, lambda r: dinv * r)
+            M = pcs.additive(coarse.apply, jax.tree_util.Partial(pcs._diag_apply, dinv))
             side = "right"  # true-residual GMRES
 
     step = model.implicit_stepper(M=M, rtol=args.rtol, atol=args.atol, maxiter=args.maxits,

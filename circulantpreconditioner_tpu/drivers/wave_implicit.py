@@ -50,7 +50,7 @@ def main(argv=None):
             A_I = CSRMatrix.from_scipy(
                 (sp.eye(model.divergence.shape[0])
                  + model.divergence.to_csr(dtype).to_scipy()).tocsr(), dtype=dtype)
-            M = pcs.ilu0(A_I).apply
+            M = pcs.ilu0(A_I).apply_partial()
         elif args.pc == "bjacobi":
             import scipy.sparse as sp
 

@@ -56,6 +56,14 @@ def run_time_loop(
         it += 1
         dn = float(jnp.asarray(dnorm).reshape(-1)[0])
         stationary = dn < precision
+        # failure detection: implicit steppers return (.., iters, resnorm,
+        # converged) — log and continue, like the reference's KSP reason
+        # branch (WaveSystem_..._impl_seq.cxx:138-146)
+        if len(extras) >= 3 and not bool(np.asarray(extras[2])):
+            if log is not None:
+                log(f"!! step {it}: linear solver did NOT converge "
+                    f"(iters={int(np.asarray(extras[0]))}, "
+                    f"residual={float(np.asarray(extras[1])):.3e})")
         if it % output_freq == 0 or it >= ntmax or stationary or t >= tmax:
             result.step_seconds.append(dt_wall)
             diag = {"it": it, "t": t, "dnorm": dn,

@@ -37,6 +37,33 @@ def spherical_explosion_scalar(mesh: Mesh, inside: float = 650.0, outside: float
     return np.where(r < rmax, inside, outside)
 
 
+# --- module-level jitted step impls: operators arrive as pytree ARGUMENTS,
+# so one compiled executable serves every mesh/λ/dt of the same shapes
+# (closure-captured arrays would be inlined as HLO constants and force a
+# fresh multi-minute axon compile per problem) ---------------------------------
+
+
+@jax.jit
+def _explicit_step_impl(D, u):
+    du = D.matvec(u)
+    return u - du, jnp.linalg.norm(du)
+
+
+@jax.jit
+def _direct_step_impl(solver, u):
+    u1 = solver.solve(u.reshape(solver.shape_zyx)).reshape(-1)
+    return u1, jnp.linalg.norm(u1 - u)
+
+
+def _identity_plus(D, u):
+    return u + D.matvec(u)
+
+
+@jax.jit
+def _dnorm_impl(x, u):
+    return jnp.linalg.norm(x - u)
+
+
 class TransportEquation:
     def __init__(
         self,
@@ -85,21 +112,11 @@ class TransportEquation:
     # --- steppers -----------------------------------------------------------
     def explicit_stepper(self):
         D = self.divergence
-
-        @jax.jit
-        def step(u):
-            du = D.matvec(u)
-            return u - du, jnp.linalg.norm(du)
-
-        return step
+        return lambda u: _explicit_step_impl(D, u)
 
     def implicit_matvec(self):
-        D = self.divergence
-
-        def A(u):
-            return u + D.matvec(u)
-
-        return A
+        """A = I + D as a pytree-callable (runtime-parameter matrix)."""
+        return jax.tree_util.Partial(_identity_plus, self.divergence)
 
     def implicit_stepper(self, M=None, rtol: float = 1e-5, atol: float = 1e-5,
                          maxiter: int = 1000, restart: int = 30, side: str = "left"):
@@ -109,10 +126,9 @@ class TransportEquation:
         solver = make_gmres(self.implicit_matvec(), M, restart=restart,
                             rtol=rtol, atol=atol, maxiter=maxiter, side=side)
 
-        @jax.jit
         def step(u):
             res = solver(u, u)
-            return res.x, jnp.linalg.norm(res.x - u), res.iters, res.resnorm
+            return res.x, _dnorm_impl(res.x, u), res.iters, res.resnorm, res.converged
 
         return step
 
@@ -133,11 +149,4 @@ class TransportEquation:
             solver = MatmulCirculantSolver.from_operator(op)
         else:
             solver = op
-        shape = op.shape_zyx
-
-        @jax.jit
-        def step(u):
-            u1 = solver.solve(u.reshape(shape)).reshape(-1)
-            return u1, jnp.linalg.norm(u1 - u)
-
-        return step
+        return lambda u: _direct_step_impl(solver, u)

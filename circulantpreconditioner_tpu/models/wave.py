@@ -44,6 +44,31 @@ def spherical_explosion_wave(mesh: Mesh, p_in: float = P0, p_out: float = 70e5,
     return U
 
 
+# module-level jitted step impls (operators as pytree args — one compile per
+# shape, not per matrix; see transport.py for rationale)
+
+
+@jax.jit
+def _explicit_step_impl(D, U):
+    dU = D.matvec(U)
+    return U - dU, jnp.linalg.norm(dU)
+
+
+@jax.jit
+def _blockfft_step_impl(op, U):
+    U1 = op.solve(U)
+    return U1, jnp.linalg.norm(U1 - U)
+
+
+def _identity_plus(D, U):
+    return U + D.matvec(U)
+
+
+@jax.jit
+def _dnorm_impl(x, u):
+    return jnp.linalg.norm(x - u)
+
+
 class WaveSystem:
     def __init__(
         self,
@@ -88,21 +113,11 @@ class WaveSystem:
     # --- steppers -----------------------------------------------------------
     def explicit_stepper(self):
         D = self.divergence
-
-        @jax.jit
-        def step(U):
-            dU = D.matvec(U)
-            return U - dU, jnp.linalg.norm(dU)
-
-        return step
+        return lambda U: _explicit_step_impl(D, U)
 
     def implicit_matvec(self):
-        D = self.divergence
-
-        def A(U):
-            return U + D.matvec(U)
-
-        return A
+        """A = I + D as a pytree-callable (runtime-parameter matrix)."""
+        return jax.tree_util.Partial(_identity_plus, self.divergence)
 
     def implicit_stepper(self, M=None, rtol: float = 1e-5, atol: float = 1e-5,
                          maxiter: int = 1000, restart: int = 30, side: str = "left"):
@@ -110,23 +125,16 @@ class WaveSystem:
         solver = make_gmres(self.implicit_matvec(), M, restart=restart,
                             rtol=rtol, atol=atol, maxiter=maxiter, side=side)
 
-        @jax.jit
         def step(U):
             res = solver(U, U)
-            return res.x, jnp.linalg.norm(res.x - U), res.iters, res.resnorm
+            return res.x, _dnorm_impl(res.x, U), res.iters, res.resnorm, res.converged
 
         return step
 
     def block_fft_stepper(self):
         """Block-circulant direct solve per step (periodic structured grids)."""
         op = self.block_circulant_operator
-
-        @jax.jit
-        def step(U):
-            U1 = op.solve(U)
-            return U1, jnp.linalg.norm(U1 - U)
-
-        return step
+        return lambda U: _blockfft_step_impl(op, U)
 
     def split_fields(self, U) -> tuple[np.ndarray, np.ndarray]:
         """Flat state → (pressure (nC,), velocity (nC, dim)) host arrays."""

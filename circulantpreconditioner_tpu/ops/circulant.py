@@ -317,11 +317,14 @@ class CirculantTransportOperator:
                 out = out + lam * (g - jnp.roll(g, 1, axis=ax))
         return out.reshape(-1) if was_flat else out
 
-    def as_preconditioner(self):
-        """M⁻¹ hook for Krylov solvers (flat-vector in/out)."""
-        def apply(r: jax.Array) -> jax.Array:
-            return self.solve(r.reshape(self.shape_zyx)).reshape(-1)
-        return apply
+    def as_preconditioner(self) -> jax.tree_util.Partial:
+        """M⁻¹ hook for Krylov solvers (flat-vector in/out); pytree-callable
+        so the spectrum enters the solver executable as a runtime parameter."""
+        return jax.tree_util.Partial(_circulant_pc_apply, self)
+
+
+def _circulant_pc_apply(op, r):
+    return op.solve(r.reshape(op.shape_zyx)).reshape(-1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -415,7 +418,5 @@ class BlockCirculantOperator:
             x = x.real.astype(b.dtype)
         return x.reshape(-1) if was_flat else x
 
-    def as_preconditioner(self):
-        def apply(r: jax.Array) -> jax.Array:
-            return self.solve(r)
-        return apply
+    def as_preconditioner(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(BlockCirculantOperator.solve, self)

@@ -112,6 +112,11 @@ class CSRMatrix:
     def __matmul__(self, x):
         return self.matvec(x)
 
+    def matvec_partial(self) -> jax.tree_util.Partial:
+        """Pytree-callable y=Ax: pass to make_gmres so the matrix arrays are
+        runtime parameters of ONE cached executable (not HLO constants)."""
+        return jax.tree_util.Partial(CSRMatrix.matvec, self)
+
     @jax.jit
     def diagonal(self) -> jax.Array:
         """Extract diag(A) (for Jacobi PCs); rows lacking a stored diagonal get 0."""
@@ -250,6 +255,9 @@ class BSRMatrix:
 
     def __matmul__(self, x):
         return self.matvec(x)
+
+    def matvec_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(BSRMatrix.matvec, self)
 
     @jax.jit
     def block_diagonal(self) -> jax.Array:

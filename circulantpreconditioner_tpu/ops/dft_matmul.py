@@ -152,7 +152,5 @@ class MatmulCirculantSolver:
             jnp.einsum(spec_b, im, B_im, preferred_element_type=g.dtype, precision=prec)
         return x.reshape(-1) if was_flat else x
 
-    def as_preconditioner(self):
-        def apply(r: jax.Array) -> jax.Array:
-            return self.solve(r)
-        return apply
+    def as_preconditioner(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(MatmulCirculantSolver.solve, self)

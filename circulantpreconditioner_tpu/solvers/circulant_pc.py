@@ -135,18 +135,19 @@ class BlockCirculantProjectionPC:
         self.P, self.P_back = build_projection_matrices(
             mesh, n_xyz, bbox, samples_per_axis, dtype
         )
-        nb = self.nb
-
-        def apply(r: jax.Array) -> jax.Array:
-            rc = r.reshape(-1, nb)
-            r_cart = self.P.matvec(rc)  # (n_cart, nb)
-            x_cart = self.op.solve(r_cart.reshape(-1))
-            return self.P_back.matvec(x_cart.reshape(-1, nb)).reshape(-1)
-
-        self.apply = apply
+        # pytree-callable (runtime-parameter) apply — see gmres.make_gmres
+        self.apply = jax.tree_util.Partial(_block_proj_apply, self.P, self.op, self.P_back)
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
+
+
+def _block_proj_apply(P, op, P_back, r):
+    nb = op.m  # static pytree aux
+    rc = r.reshape(-1, nb)
+    r_cart = P.matvec(rc)  # (n_cart, nb)
+    x_cart = op.solve(r_cart.reshape(-1))
+    return P_back.matvec(x_cart.reshape(-1, nb)).reshape(-1)
 
 
 class CirculantProjectionPC:
@@ -164,14 +165,15 @@ class CirculantProjectionPC:
         self.P, self.P_back = build_projection_matrices(
             mesh, n_xyz, bbox, samples_per_axis, dtype
         )
-        shape = shape_zyx
-
-        def apply(r: jax.Array) -> jax.Array:
-            r_cart = self.P.matvec(r)
-            x_cart = self.solver.solve(r_cart.reshape(shape)).reshape(-1)
-            return self.P_back.matvec(x_cart)
-
-        self.apply = apply
+        self.apply = jax.tree_util.Partial(
+            _scalar_proj_apply, self.P, self.solver, self.P_back
+        )
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
+
+
+def _scalar_proj_apply(P, solver, P_back, r):
+    r_cart = P.matvec(r)
+    x_cart = solver.solve(r_cart.reshape(solver.shape_zyx)).reshape(-1)
+    return P_back.matvec(x_cart)

@@ -63,9 +63,11 @@ def make_gmres(
 ) -> Callable[[jax.Array, jax.Array | None], KrylovResult]:
     """Build a jitted GMRES solver for a fixed operator/preconditioner pair.
 
-    `A` and `M` may close over pytrees of device arrays (CSR matrices,
-    circulant spectra); the returned function is jitted once per (shape,
-    dtype) of b.
+    Pass `A`/`M` as `jax.tree_util.Partial` (e.g. `CSRMatrix.matvec_partial()`)
+    to have their device arrays enter the executable as runtime PARAMETERS —
+    one compile serves every matrix/spectrum of the same shapes. Plain
+    closures also work but inline their captured arrays as HLO constants
+    (slow recompiles per new operator).
 
     side="left" (PETSc default): solves M⁻¹A x = M⁻¹ b, converging on the
     PRECONDITIONED residual — matches the reference's KSP configs.
@@ -81,8 +83,32 @@ def make_gmres(
     right = side == "right"
     m = int(restart)
 
-    @jax.jit
+    # Operators passed as jax.tree_util.Partial become jit ARGUMENTS: their
+    # device arrays are runtime parameters instead of HLO-inlined constants,
+    # so one compiled executable serves every timestep/λ/matrix of the same
+    # shape (critical on axon, where each fresh compile costs minutes).
+    # Plain closures still work — they are traced as static constants.
+    A_is_tree = isinstance(A, jax.tree_util.Partial)
+    M_is_tree = isinstance(M, jax.tree_util.Partial)
+    A_static = None if A_is_tree else A
+    M_static = None if M_is_tree else M
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _solve(A_st, M_st, A_dyn, M_dyn, b, x0):
+        A = A_st if A_st is not None else A_dyn
+        M = M_st if M_st is not None else M_dyn
+        return _gmres_body(A, M, b, x0, m=m, rtol=rtol, atol=atol,
+                           maxiter=maxiter, divtol=divtol, right=right)
+
     def solve(b: jax.Array, x0: jax.Array | None = None) -> KrylovResult:
+        return _solve(A_static, M_static,
+                      A if A_is_tree else None, M if M_is_tree else None, b, x0)
+
+    return solve
+
+
+def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right) -> KrylovResult:
+    if True:  # (indentation kept shallow-diff friendly)
         n = b.shape[0]
         dtype = b.dtype
         x = jnp.zeros_like(b) if x0 is None else x0
@@ -184,8 +210,6 @@ def make_gmres(
             outer_cond, outer_body, (x, res0, jnp.array(0, jnp.int32), jnp.array(False))
         )
         return KrylovResult(x, it, res, jnp.logical_and(res < tol, ~diverged))
-
-    return solve
 
 
 def gmres(

@@ -28,18 +28,25 @@ def identity() -> Callable[[jax.Array], jax.Array]:
     return lambda r: r
 
 
-def jacobi(A: CSRMatrix) -> Callable[[jax.Array], jax.Array]:
-    """Diagonal scaling M⁻¹ = diag(A)⁻¹."""
+def _diag_apply(dinv, r):
+    return dinv * r
+
+
+def jacobi(A: CSRMatrix) -> jax.tree_util.Partial:
+    """Diagonal scaling M⁻¹ = diag(A)⁻¹ (pytree-callable: the scaling vector
+    is a runtime parameter — see gmres.make_gmres)."""
     d = A.diagonal()
     dinv = jnp.where(jnp.abs(d) > 0, 1.0 / d, 1.0)
-
-    def apply(r: jax.Array) -> jax.Array:
-        return dinv * r
-
-    return apply
+    return jax.tree_util.Partial(_diag_apply, dinv)
 
 
-def pbjacobi(A: BSRMatrix, shift: float = 0.0) -> Callable[[jax.Array], jax.Array]:
+def _block_diag_apply(Dinv, r):
+    b = Dinv.shape[-1]
+    rb = r.reshape(-1, b)
+    return jnp.einsum("nij,nj->ni", Dinv, rb).reshape(-1)
+
+
+def pbjacobi(A: BSRMatrix, shift: float = 0.0) -> jax.tree_util.Partial:
     """Point-block Jacobi (PETSc PCPBJACOBI): invert the (b×b) diagonal
     blocks once; apply is a batched small matvec (MXU-friendly).
     shift=1.0 preconditions I + A (the implicit FV systems) without
@@ -48,13 +55,14 @@ def pbjacobi(A: BSRMatrix, shift: float = 0.0) -> Callable[[jax.Array], jax.Arra
     if shift:
         D = D + shift * np.eye(A.block_size)[None, :, :]
     Dinv = jnp.asarray(np.linalg.inv(D), dtype=A.blocks.dtype)
-    b = A.block_size
+    return jax.tree_util.Partial(_block_diag_apply, Dinv)
 
-    def apply(r: jax.Array) -> jax.Array:
-        rb = r.reshape(-1, b)
-        return jnp.einsum("nij,nj->ni", Dinv, rb).reshape(-1)
 
-    return apply
+def _additive_apply(appliers, r):
+    out = appliers[0](r)
+    for M in appliers[1:]:
+        out = out + M(r)
+    return out
 
 
 def additive(*appliers: Callable[[jax.Array], jax.Array]) -> Callable[[jax.Array], jax.Array]:
@@ -63,13 +71,13 @@ def additive(*appliers: Callable[[jax.Array], jax.Array]) -> Callable[[jax.Array
     smoother (e.g. pbjacobi) makes the composite usable as a right PC.
     Measured (kershaw 8³ wave, cfl=333, right-PC GMRES on true residual):
     plain 178 its, pbjacobi 139, multiplicative two-level 101,
-    additive circulant+pbjacobi 85."""
+    additive circulant+pbjacobi 85. If every applier is a tree_util.Partial,
+    the composite is too (stays a runtime-parameter operator)."""
+    if all(isinstance(M, jax.tree_util.Partial) for M in appliers):
+        return jax.tree_util.Partial(_additive_apply, tuple(appliers))
 
     def apply(r: jax.Array) -> jax.Array:
-        out = appliers[0](r)
-        for M in appliers[1:]:
-            out = out + M(r)
-        return out
+        return _additive_apply(appliers, r)
 
     return apply
 
@@ -221,20 +229,31 @@ class ILU0Preconditioner:
 
     def apply(self, r: jax.Array) -> jax.Array:
         """x = U⁻¹ L⁻¹ r (unit-diagonal L)."""
-        y = r
-        for rows, cols, vals in self._lower_levels:
-            acc = jnp.sum(vals * y[cols], axis=1)
-            y = y.at[rows].set(r[rows] - acc)
-        # level 0 of the upper schedule = rows with no dependencies (the
-        # trailing rows) — process levels in the order they were built
-        x = y
-        for rows, cols, vals in self._upper_levels:
-            acc = jnp.sum(vals * x[cols], axis=1)
-            x = x.at[rows].set((y[rows] - acc) * self._dinv[rows])
-        return x
+        return _ilu_apply(tuple(self._lower_levels), tuple(self._upper_levels),
+                          self._dinv, r)
+
+    def apply_partial(self) -> jax.tree_util.Partial:
+        """Pytree-callable apply (factor arrays as runtime parameters)."""
+        return jax.tree_util.Partial(
+            _ilu_apply, tuple(self._lower_levels), tuple(self._upper_levels), self._dinv
+        )
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
+
+
+def _ilu_apply(lower_levels, upper_levels, dinv, r):
+    y = r
+    for rows, cols, vals in lower_levels:
+        acc = jnp.sum(vals * y[cols], axis=1)
+        y = y.at[rows].set(r[rows] - acc)
+    # level 0 of the upper schedule = rows with no dependencies (the
+    # trailing rows) — process levels in the order they were built
+    x = y
+    for rows, cols, vals in upper_levels:
+        acc = jnp.sum(vals * x[cols], axis=1)
+        x = x.at[rows].set((y[rows] - acc) * dinv[rows])
+    return x
 
 
 def ilu0(A: CSRMatrix) -> ILU0Preconditioner:

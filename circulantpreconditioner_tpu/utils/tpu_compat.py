@@ -34,6 +34,17 @@ T = TypeVar("T")
 _TILE = (8, 128)
 
 
+def enable_compile_cache(path: str = "/tmp/jax_comp_cache") -> None:
+    """Enable JAX's persistent compilation cache. The axon remote compiler
+    has multi-minute latency variance on identical graphs; cache hits bring
+    driver/bench startup from minutes to seconds. Safe to call repeatedly."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def tile_scalar(s: jax.Array) -> jax.Array:
     """Broadcast a 0-d scalar to a full (8,128) f32 tile — call INSIDE jit on
     any scalar that will be fetched to host from an FFT-touching graph."""

@@ -38,7 +38,7 @@ def test_transport_fft_equals_gmres_on_periodic():
     fft_step = model.fft_stepper()
     imp_step = model.implicit_stepper(rtol=1e-12, atol=1e-12)
     u_fft, _ = fft_step(u0)
-    u_gmres, _, iters, _ = imp_step(u0)
+    u_gmres, _, iters, *_ = imp_step(u0)
     np.testing.assert_allclose(np.asarray(u_fft), np.asarray(u_gmres), rtol=1e-8, atol=1e-8)
 
 
@@ -47,7 +47,7 @@ def test_transport_implicit_with_circulant_pc_one_iteration():
     model = TransportEquation(m, velocity=[1.0, 0.0, 0.0], cfl=1e3 / 3, dtype=jnp.float64)
     step = model.implicit_stepper(M=model.fft_operator.as_preconditioner(),
                                   rtol=1e-8, atol=1e-10)
-    u1, dnorm, iters, resnorm = step(model.initial_state())
+    u1, dnorm, iters, resnorm, conv = step(model.initial_state())
     assert int(iters) <= 2
 
 
@@ -95,7 +95,7 @@ def test_wave_implicit_matches_direct():
     AI = CSRMatrix.from_scipy(Asp.tocsr(), dtype=jnp.float64)
     M = pcs.ilu0(AI)
     step = model.implicit_stepper(M=M.apply, rtol=1e-10, atol=1e-12)
-    U1, dn, iters, res = step(U0)
+    U1, dn, iters, res, conv = step(U0)
     U_ref = spla.spsolve(Asp.tocsr(), np.asarray(U0))
     np.testing.assert_allclose(np.asarray(U1), U_ref, rtol=1e-6, atol=1e-4)
     assert int(iters) < 200

@@ -73,7 +73,7 @@ def test_wave_on_tet_mesh_runs():
     m = tet_mesh(((-0.5, 0.5),) * 3, (4, 4, 4))  # fine enough that cells fall inside the shock sphere
     model = WaveSystem(m, cfl=100.0, dtype=jnp.float64)
     step = model.implicit_stepper(rtol=1e-6, atol=1e-8)
-    U1, dn, iters, res = step(model.initial_state())
+    U1, dn, iters, *_ = step(model.initial_state())
     assert np.isfinite(np.asarray(U1)).all()
     assert int(iters) > 0
 
