@@ -103,3 +103,62 @@ def test_distributed_transport_fft_step_matches_local():
     b = solver.shard(np.asarray(u0).reshape(shape_zyx))
     u1 = np.asarray(solver.solve(b)).reshape(-1)
     np.testing.assert_allclose(u1, np.asarray(u1_ref), atol=1e-10)
+
+
+def test_halo_spmv_matches_allgather():
+    """ppermute halo SpMV == all-gather SpMV == single-device SpMV on the
+    lexicographically ordered wave operator (bandwidth fits one row block)."""
+    from circulantpreconditioner_tpu.parallel import HaloELLMatrix
+
+    mesh = device_mesh(8)
+    m = cartesian_mesh(((-0.5, 0.5),) * 3, (4, 4, 16))
+    model = WaveSystem(m, cfl=100.0, dtype=jnp.float64)
+    A = model.divergence.to_csr(jnp.float64)
+    Ah = HaloELLMatrix(A, mesh)
+    Ag = ShardedELLMatrix(A, mesh)
+    rng = np.random.default_rng(5)
+    x = rng.random(A.shape[1])
+    y_ref = np.asarray(A.matvec(jnp.asarray(x)))
+    y_h = Ah.unshard_vector(Ah.matvec(Ah.shard_vector(x)))
+    y_g = Ag.unshard_vector(Ag.matvec(Ag.shard_vector(x)))
+    np.testing.assert_allclose(y_h, y_ref, atol=1e-10)
+    np.testing.assert_allclose(y_g, y_ref, atol=1e-10)
+
+
+def test_halo_spmv_rejects_wide_band():
+    from circulantpreconditioner_tpu.parallel import HaloELLMatrix
+
+    mesh = device_mesh(8)
+    # periodic wrap gives bandwidth ~ n — must be rejected cleanly
+    m = cartesian_mesh(((-0.5, 0.5),) * 1, (64,), periodic=True)
+    from circulantpreconditioner_tpu.models import TransportEquation
+
+    model = TransportEquation(m, velocity=[1.0], cfl=10.0, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="bandwidth"):
+        HaloELLMatrix(model.divergence, mesh)
+
+
+def test_halo_spmv_in_gmres():
+    """Distributed implicit wave GMRES with the halo SpMV matches local."""
+    from circulantpreconditioner_tpu.parallel import HaloELLMatrix
+
+    mesh = device_mesh(8)
+    m = cartesian_mesh(((-0.5, 0.5),) * 2, (6, 16))
+    model = WaveSystem(m, cfl=200.0, dtype=jnp.float64)
+    A = model.divergence.to_csr(jnp.float64)
+    Ah = HaloELLMatrix(A, mesh)
+    U0 = np.asarray(model.initial_state())
+
+    import jax as _jax
+
+    def A_dist(x):
+        return x + Ah.matvec(x)
+
+    solver = make_gmres(A_dist, rtol=1e-10, atol=1e-12, maxiter=500)
+    b = Ah.shard_vector(U0)
+    res = solver(b, b)
+    x_dist = Ah.unshard_vector(res.x)
+    res_ref = make_gmres(model.implicit_matvec(), rtol=1e-10, atol=1e-12, maxiter=500)(
+        jnp.asarray(U0), jnp.asarray(U0))
+    assert bool(res.converged) and bool(res_ref.converged)
+    np.testing.assert_allclose(x_dist, np.asarray(res_ref.x), rtol=1e-6, atol=1e-6)
