@@ -45,7 +45,7 @@ def spherical_explosion_scalar(mesh: Mesh, inside: float = 650.0, outside: float
 
 @jax.jit
 def _explicit_step_impl(D, u):
-    du = D.matvec(u)
+    du = D(u)
     return u - du, jnp.linalg.norm(du)
 
 
@@ -56,7 +56,7 @@ def _direct_step_impl(solver, u):
 
 
 def _identity_plus(D, u):
-    return u + D.matvec(u)
+    return u + D(u)
 
 
 @jax.jit
@@ -109,21 +109,57 @@ class TransportEquation:
             n_xyz, self.velocity, self.dt, h, dtype=self.dtype
         )
 
+    def _stencil_bc(self) -> str | None:
+        """'periodic' / 'neumann' when the structured mesh supports the
+        stencil fast path (non-Periodic boundary groups are all no-ops in the
+        transport assembly, i.e. Neumann-equivalent)."""
+        if not self.mesh.is_structured:
+            return None
+        codes = set(np.unique(self.mesh.face_group)) - {0}
+        names = {n for n, c in self.mesh.groups.items() if c in codes}
+        if names <= {"Periodic"}:
+            return "periodic"
+        if "Periodic" not in names:
+            return "neumann"
+        return None  # mixed periodic/non-periodic axes: use the matrix
+
+    @cached_property
+    def stencil_operator(self):
+        from circulantpreconditioner_tpu.ops.stencil import TransportStencilOperator
+
+        bc = self._stencil_bc()
+        if bc is None:
+            raise ValueError("stencil operator needs a structured mesh with "
+                             "homogeneous (all-periodic or no-periodic) boundaries")
+        return TransportStencilOperator.create(
+            self.mesh.structured_shape, self.velocity, self.dt,
+            self.mesh.spacing, bc=bc)  # type: ignore[attr-defined]
+
+    def divergence_op(self, operator: str = "auto"):
+        """D as a pytree-callable: 'stencil' (gather-free structured fast
+        path), 'matrix' (assembled CSR), or 'auto'."""
+        if operator == "auto":
+            operator = "stencil" if self._stencil_bc() else "matrix"
+        if operator == "stencil":
+            return self.stencil_operator.matvec_partial()
+        return self.divergence.matvec_partial()
+
     # --- steppers -----------------------------------------------------------
-    def explicit_stepper(self):
-        D = self.divergence
+    def explicit_stepper(self, operator: str = "auto"):
+        D = self.divergence_op(operator)
         return lambda u: _explicit_step_impl(D, u)
 
-    def implicit_matvec(self):
-        """A = I + D as a pytree-callable (runtime-parameter matrix)."""
-        return jax.tree_util.Partial(_identity_plus, self.divergence)
+    def implicit_matvec(self, operator: str = "auto"):
+        """A = I + D as a pytree-callable (runtime-parameter operator)."""
+        return jax.tree_util.Partial(_identity_plus, self.divergence_op(operator))
 
     def implicit_stepper(self, M=None, rtol: float = 1e-5, atol: float = 1e-5,
-                         maxiter: int = 1000, restart: int = 30, side: str = "left"):
+                         maxiter: int = 1000, restart: int = 30, side: str = "left",
+                         operator: str = "auto"):
         """GMRES path (reference: GMRES + PCNONE,
         TransportEquation_..._impl_mpi.cxx:33-36); pass M for the circulant PC
         (side="right" for rank-deficient projection PCs)."""
-        solver = make_gmres(self.implicit_matvec(), M, restart=restart,
+        solver = make_gmres(self.implicit_matvec(operator), M, restart=restart,
                             rtol=rtol, atol=atol, maxiter=maxiter, side=side)
 
         def step(u):

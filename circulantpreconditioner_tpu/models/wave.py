@@ -50,7 +50,7 @@ def spherical_explosion_wave(mesh: Mesh, p_in: float = P0, p_out: float = 70e5,
 
 @jax.jit
 def _explicit_step_impl(D, U):
-    dU = D.matvec(U)
+    dU = D(U)
     return U - dU, jnp.linalg.norm(dU)
 
 
@@ -61,7 +61,7 @@ def _blockfft_step_impl(op, U):
 
 
 def _identity_plus(D, U):
-    return U + D.matvec(U)
+    return U + D(U)
 
 
 @jax.jit
@@ -99,6 +99,39 @@ class WaveSystem:
     def divergence(self) -> BSRMatrix:
         return wave_divergence_bsr(self.mesh, self.dt, self.c0, dtype=self.dtype)
 
+    def _homogeneous_bc(self) -> str | None:
+        """'wall' / 'periodic' when the structured mesh has uniform boundary
+        groups (the stencil fast path's requirement), else None."""
+        if not self.mesh.is_structured:
+            return None
+        codes = set(np.unique(self.mesh.face_group)) - {0}
+        names = {n for n, c in self.mesh.groups.items() if c in codes}
+        if names <= {"Wall"}:
+            return "wall"
+        if names <= {"Periodic"}:
+            return "periodic"
+        return None
+
+    @cached_property
+    def stencil_operator(self):
+        """Gather-free stencil form of D (structured grids; ops/stencil.py)."""
+        from circulantpreconditioner_tpu.ops.stencil import WaveStencilOperator
+
+        bc = self._homogeneous_bc()
+        if bc is None:
+            raise ValueError("stencil operator needs a structured mesh with "
+                             "homogeneous Wall or Periodic boundaries")
+        return WaveStencilOperator.from_model(self, bc=bc)
+
+    def divergence_op(self, operator: str = "auto"):
+        """The D operator as a pytree-callable: 'stencil' (structured fast
+        path), 'matrix' (assembled BSR), or 'auto'."""
+        if operator == "auto":
+            operator = "stencil" if self._homogeneous_bc() else "matrix"
+        if operator == "stencil":
+            return self.stencil_operator.matvec_partial()
+        return self.divergence.matvec_partial()
+
     @cached_property
     def block_circulant_operator(self) -> BlockCirculantOperator:
         """Direct block-circulant solver of I + D on a periodic structured
@@ -111,18 +144,19 @@ class WaveSystem:
         return BlockCirculantOperator.from_stencil(shape_zyx, offsets, blocks, dtype=self.dtype)
 
     # --- steppers -----------------------------------------------------------
-    def explicit_stepper(self):
-        D = self.divergence
+    def explicit_stepper(self, operator: str = "auto"):
+        D = self.divergence_op(operator)
         return lambda U: _explicit_step_impl(D, U)
 
-    def implicit_matvec(self):
-        """A = I + D as a pytree-callable (runtime-parameter matrix)."""
-        return jax.tree_util.Partial(_identity_plus, self.divergence)
+    def implicit_matvec(self, operator: str = "auto"):
+        """A = I + D as a pytree-callable (runtime-parameter operator)."""
+        return jax.tree_util.Partial(_identity_plus, self.divergence_op(operator))
 
     def implicit_stepper(self, M=None, rtol: float = 1e-5, atol: float = 1e-5,
-                         maxiter: int = 1000, restart: int = 30, side: str = "left"):
+                         maxiter: int = 1000, restart: int = 30, side: str = "left",
+                         operator: str = "auto"):
         """GMRES (+ILU seq / BJACOBI mpi in the reference; any M here)."""
-        solver = make_gmres(self.implicit_matvec(), M, restart=restart,
+        solver = make_gmres(self.implicit_matvec(operator), M, restart=restart,
                             rtol=rtol, atol=atol, maxiter=maxiter, side=side)
 
         def step(U):

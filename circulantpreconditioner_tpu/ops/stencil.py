@@ -1,0 +1,199 @@
+"""Structured-grid stencil operators — gather-free SpMV for cartesian meshes.
+
+On TPU, the assembled-matrix SpMV (gather + segment-sum / ELL) pays for
+irregular addressing the FV operator doesn't actually have on a structured
+grid: the wave/transport divergence is a 7-point (block) stencil with ONE
+coefficient (block) per face direction. This module evaluates D·U as
+
+    D U = Σ_{sides s=(axis,dir)} (U_nb(s) − U) · Amᵀ(s)
+
+with `jnp.roll` shifts, boundary-layer masks for Wall/Neumann (mirror ghost
+U_nb = (I − 2vvᵀ)U for walls, WaveSystem.cxx:150-157), and per-side (b×b)
+blocks contracted on the MXU. Pure shifts + batched matmuls: compiles in
+seconds and streams at HBM bandwidth — the structured-mesh fast path the
+reference's generic PETSc SpMV can't express.
+
+Equivalence with ops/assembly.py matrices is asserted in tests/test_stencil.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from circulantpreconditioner_tpu.ops.assembly import wave_jacobian_blocks
+
+
+def _side_tables(dim: int, dt: float, c0: float, spacing, bc: str):
+    """Per-side upwind blocks Am and wall mirrors for the wave system.
+
+    Sides are (axis_zyx, dir) with dir=+1 the face whose outward normal is
+    +e_axis. Returns (Am (nsides,b,b), mirror (nsides,b,b))."""
+    h = np.asarray(spacing, dtype=np.float64)[:dim]
+    nb = dim + 1
+    Ams, mirrors = [], []
+    for ax_zyx in range(dim):  # axis in zyx array order
+        d_xyz = dim - 1 - ax_zyx
+        for sgn in (+1.0, -1.0):
+            e = np.zeros((1, dim))
+            e[0, d_xyz] = sgn
+            A, absA = wave_jacobian_blocks(e, c0)
+            Am = 0.5 * (A[0] - absA[0]) * (dt / h[d_xyz])
+            v = np.zeros(nb)
+            v[1:] = e[0]
+            mirror = np.eye(nb) - 2.0 * np.outer(v, v)
+            Ams.append(Am)
+            mirrors.append(mirror)
+    return np.stack(Ams), np.stack(mirrors)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class WaveStencilOperator:
+    """D of the wave system on a uniform cartesian grid, stencil-evaluated.
+
+    bc: "wall" (reference default — mirror ghosts) or "periodic".
+    State layout: flat cell-major (N·(dim+1),), zyx x-fastest — identical to
+    the assembled BSRMatrix, so `matvec` is a drop-in replacement.
+    """
+
+    shape_zyx: tuple[int, ...]
+    bc: str
+    Am: jax.Array  # (2·dim, b, b)
+    mirror: jax.Array  # (2·dim, b, b)
+
+    def tree_flatten(self):
+        return (self.Am, self.mirror), (self.shape_zyx, self.bc)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children)
+
+    @classmethod
+    def create(cls, shape_xyz: Sequence[int], dt: float, c0: float, spacing_xyz,
+               bc: str = "wall", dtype=jnp.float32):
+        dim = len(shape_xyz)
+        Am, mirror = _side_tables(dim, dt, c0, spacing_xyz, bc)
+        return cls(
+            tuple(reversed(tuple(int(v) for v in shape_xyz))),
+            bc,
+            jnp.asarray(Am, dtype=dtype),
+            jnp.asarray(mirror, dtype=dtype),
+        )
+
+    @classmethod
+    def from_model(cls, model, bc: str = "wall"):
+        mesh = model.mesh
+        return cls.create(mesh.structured_shape, model.dt, model.c0,
+                          mesh.spacing, bc=bc, dtype=model.dtype)
+
+    @property
+    def nb(self) -> int:
+        return len(self.shape_zyx) + 1
+
+    @jax.jit
+    def matvec(self, U: jax.Array) -> jax.Array:
+        """y = D U (divergence only — apply I+D for the implicit system)."""
+        dim = len(self.shape_zyx)
+        nb = self.nb
+        g = U.reshape(self.shape_zyx + (nb,))
+        out = jnp.zeros_like(g)
+        s = 0
+        for ax in range(dim):
+            n = self.shape_zyx[ax]
+            for sgn in (+1, -1):
+                # neighbour in +sgn direction along array axis `ax`
+                nbr = jnp.roll(g, -sgn, axis=ax)
+                if self.bc != "periodic":
+                    # boundary layer: the face at the domain edge has no
+                    # neighbour → wall mirror ghost (I − 2vvᵀ)U
+                    edge = n - 1 if sgn > 0 else 0
+                    idx = jax.lax.broadcasted_iota(jnp.int32, g.shape, ax)
+                    ghost = jnp.einsum("...j,ij->...i", g, self.mirror[s])
+                    nbr = jnp.where(idx == edge, ghost, nbr)
+                out = out + jnp.einsum("...j,ij->...i", nbr - g, self.Am[s])
+                s += 1
+        return out.reshape(-1)
+
+    def __call__(self, U):
+        return self.matvec(U)
+
+    def matvec_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(WaveStencilOperator.matvec, self)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TransportStencilOperator:
+    """Scalar upwind divergence D on a uniform cartesian grid.
+
+    bc: "periodic" (circulant case) or "neumann" (reference transport
+    drivers: boundary faces contribute nothing)."""
+
+    shape_zyx: tuple[int, ...]
+    bc: str
+    lam_plus: tuple[float, ...]  # λ⁺ per zyx axis = max(a_d,0)·dt/h_d
+    lam_minus: tuple[float, ...]  # λ⁻ per zyx axis = min(a_d,0)·dt/h_d
+
+    def tree_flatten(self):
+        return (), (self.shape_zyx, self.bc, self.lam_plus, self.lam_minus)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux)
+
+    @classmethod
+    def create(cls, shape_xyz: Sequence[int], velocity_xyz, dt: float, spacing_xyz,
+               bc: str = "periodic"):
+        dim = len(shape_xyz)
+        a = np.asarray(velocity_xyz, dtype=np.float64)[:dim]
+        h = np.asarray(spacing_xyz, dtype=np.float64)[:dim]
+        lam = a * dt / h  # xyz order
+        lam_zyx = lam[::-1]
+        return cls(
+            tuple(reversed(tuple(int(v) for v in shape_xyz))),
+            bc,
+            tuple(float(max(l, 0.0)) for l in lam_zyx),
+            tuple(float(min(l, 0.0)) for l in lam_zyx),
+        )
+
+    @jax.jit
+    def matvec(self, u: jax.Array) -> jax.Array:
+        """y = D u, matching ops/assembly.transport_divergence_csr exactly.
+
+        Per axis with λ = a·dt/h. For λ>0 (flow in +direction): cell j's
+        outflow (+) face gives +λ·u_j when interior (j<n−1), its inflow (−)
+        face gives −λ·u_{j−1} when interior (j≥1); Neumann boundary faces
+        contribute nothing (TransportEquation.cxx behaviour). Periodic keeps
+        both terms with wraparound. Mirrored for λ<0.
+        """
+        g = u.reshape(self.shape_zyx)
+        out = jnp.zeros_like(g)
+        for ax, (lp, lm) in enumerate(zip(self.lam_plus, self.lam_minus)):
+            n = self.shape_zyx[ax]
+            idx = jax.lax.broadcasted_iota(jnp.int32, g.shape, ax)
+            if lp:
+                up = jnp.roll(g, 1, axis=ax)  # u_{j−1} (wraps)
+                if self.bc == "periodic":
+                    out = out + lp * (g - up)
+                else:
+                    out = out + lp * (
+                        jnp.where(idx < n - 1, g, 0.0) - jnp.where(idx >= 1, up, 0.0)
+                    )
+            if lm:
+                dn = jnp.roll(g, -1, axis=ax)  # u_{j+1} (wraps)
+                if self.bc == "periodic":
+                    out = out - lm * (g - dn)
+                else:
+                    out = out - lm * (
+                        jnp.where(idx >= 1, g, 0.0) - jnp.where(idx < n - 1, dn, 0.0)
+                    )
+        return out.reshape(-1)
+
+    def matvec_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(TransportStencilOperator.matvec, self)
