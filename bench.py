@@ -1,28 +1,33 @@
 """Benchmark harness — run by the driver on real TPU hardware each round.
 
 Flagship metric: circulant FFT PC applies per second (one PC apply == one
-full rfftn → eigenvalue divide → irfftn solve) on the reference's largest
+full DFT → eigenvalue divide → inverse-DFT solve) on the reference's largest
 registered problem, the 100³ transport grid
 (/root/reference/tests/CMakeLists.txt:42). The baseline is the same solve
-executed with SciPy's pocketfft on this host's CPU — the stand-in for the
-reference's single-node PETSc/FFTW path (the reference publishes no numbers;
-BASELINE.md mandates measuring).
+with SciPy's pocketfft on this host's CPU — the stand-in for the reference's
+single-node PETSc/FFTW path (the reference publishes no numbers; BASELINE.md
+mandates measuring).
+
+Timing methodology (load-bearing on the axon tunnel): `block_until_ready`
+does not reliably wait and `lax.scan` adds per-iteration overhead, so we
+chain K dependent solves, force completion with a full-array D2H fetch, and
+DIFFERENCE two chain lengths: per_step = (T_K2 − T_K1)/(K2 − K1), median
+over repetitions. See .claude/skills/verify/SKILL.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Timing uses a lax.scan chain of dependent solves so dispatch pipelining
-cannot hide per-step latency.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
 import numpy as np
 
 
-def measure_scipy_baseline(n: int, lam: np.ndarray, steps: int = 10) -> float:
+def measure_scipy_baseline(n: int, lam: np.ndarray, steps: int = 20) -> float:
     """Solves/s of the SciPy CPU pipeline (rfftn → divide → irfftn)."""
     from scipy import fft as sfft
 
@@ -46,61 +51,58 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from circulantpreconditioner_tpu.utils import enable_compile_cache
-
-    # persistent compilation cache: the axon remote compile of the scan graph
-    # has multi-minute variance; cache hits make reruns start in seconds
-    enable_compile_cache()
-
-    from circulantpreconditioner_tpu.models.runner import scan_steps
     from circulantpreconditioner_tpu.ops.circulant import (
         CirculantTransportOperator,
         np_eigenvalue_diagonal,
     )
     from circulantpreconditioner_tpu.ops.dft_matmul import MatmulCirculantSolver
-    from circulantpreconditioner_tpu.utils import retry_transient
+    from circulantpreconditioner_tpu.utils import enable_compile_cache, retry_transient
+
+    enable_compile_cache()
 
     n = 100  # the reference's "gros calcul" grid (tests/CMakeLists.txt:42)
     h = 1.0 / n
     dt = (1e3 / 3) * (h / 6)
     lambdas_zyx = (0.0, 0.0, 1.0 * dt / h)
     op = CirculantTransportOperator.create((n, n, n), lambdas_zyx, jnp.float32)
-    # DFT-by-matmul on the MXU in full-f32 precision — the TPU-native solve
-    # path (the XLA FFT lowering is ~30-50x slower on this chip)
+    # DFT-by-matmul on the MXU, full-f32 — robust under chained stepping and
+    # immune to the XLA-FFT-under-scan pathology on this backend
     solver = MatmulCirculantSolver.from_operator(op, precision="highest")
 
     rng = np.random.default_rng(1)
     u0 = jnp.asarray(rng.random((n, n, n)).astype(np.float32) * 50 + 600)
 
-    def step(u):
-        u1 = solver.solve(u)
-        return u1, jnp.float32(0.0)
+    print("bench: warmup/compile...", file=sys.stderr, flush=True)
+    retry_transient(lambda: solver.solve(u0))
+    np.asarray(u0)  # warm the D2H path (first transfer can take minutes)
+    np.asarray(solver.solve(u0))
 
-    steps = 100
+    def chain(K: int) -> float:
+        v = u0
+        t0 = time.perf_counter()
+        for _ in range(K):
+            v = solver.solve(v)
+        np.asarray(v)  # force completion
+        return time.perf_counter() - t0
 
-    @jax.jit
-    def run(u):
-        def body(v, _):
-            return step(v)[0], None
-
-        out, _ = jax.lax.scan(body, u, None, length=steps)
-        return out
-
-    # compile + warmup (transient-retry for the axon tunnel)
-    print("bench: compiling scan...", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    retry_transient(lambda: run(u0))
-    print(f"bench: compile+warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    uf = run(u0)
-    jax.block_until_ready(uf)
-    per_step = (time.perf_counter() - t0) / steps
+    K1, K2 = 100, 400
+    per_steps = []
+    for _ in range(3):
+        t1 = chain(K1)
+        t2 = chain(K2)
+        per_steps.append((t2 - t1) / (K2 - K1))
+    per_step = statistics.median(per_steps)
+    per_step = max(per_step, 1e-6)
     solves_per_s = 1.0 / per_step
+    print(f"bench: per-solve {per_step*1e3:.3f} ms (reps: "
+          f"{[f'{p*1e3:.3f}' for p in per_steps]})", file=sys.stderr, flush=True)
 
     # correctness gate: residual of one solve via the stencil matvec
-    u1 = retry_transient(lambda: solver.solve(u0))
+    u1 = solver.solve(u0)
     r = retry_transient(
-        lambda: jax.jit(lambda a, b: jnp.full((8, 128), jnp.linalg.norm(op.matvec(a) - b) / jnp.linalg.norm(b)))(u1, u0)
+        lambda: jax.jit(
+            lambda a, b: jnp.full((8, 128), jnp.linalg.norm(op.matvec(a) - b) / jnp.linalg.norm(b))
+        )(u1, u0)
     )
     rel_res = float(np.asarray(r)[0, 0])
     if not rel_res < 1e-4:
@@ -109,6 +111,7 @@ def main() -> None:
 
     lam_np = np_eigenvalue_diagonal((n, n, n), lambdas_zyx, rfft=True)
     baseline = measure_scipy_baseline(n, lam_np)
+    print(f"bench: scipy baseline {baseline:.1f} solves/s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(

@@ -173,8 +173,9 @@ class TransportEquation:
         cached on device — fixes the reference's per-step plan rebuild.
 
         method: "fft" (jnp.fft path), "matmul" (DFT-by-matmul on the MXU —
-        measured ~26x faster than the XLA FFT lowering on TPU v5e at 128³ in
-        full-f32 precision), or "auto" (matmul on TPU, fft elsewhere).
+        same steady-state speed, but robust on the axon backend where the
+        FFT lowering degrades under lax.scan and cannot cross executable
+        boundaries as complex), or "auto" (matmul on TPU, fft elsewhere).
         """
         op = self.fft_operator
         if method == "auto":

@@ -1,12 +1,13 @@
 """Circulant solve via DFT-by-matmul on the MXU — the TPU speed-of-light path.
 
-Measured on TPU v5e (axon, jax 0.9.0): XLA's native FFT lowering runs the
-128³ rfftn → Λ-divide → irfftn pipeline at ~70 ms/solve; expressing each DFT
-axis as a matmul with precomputed DFT matrices runs the same solve at ~1.5 ms
-— the FLOPs land on the 128×128 systolic array instead of the FFT butterfly
-emulation. For the grid sizes this framework targets (n ≤ a few hundred per
-axis), the O(n²) axis transform beats the O(n log n) butterfly on TPU by a
-wide margin because it is pure batched GEMM.
+Measured on TPU v5e (axon, jax 0.9.0, differenced-chain timing): at steady
+state this path and the XLA FFT lowering are both HBM-bound (~0.25 ms per
+100³ solve). The matmul formulation is preferred on this backend because it
+is ROBUST where the FFT lowering is not: no complex values cross executable
+boundaries (utils/tpu_compat.py), and it does not suffer the ~50× per-step
+degradation the FFT lowering shows under lax.scan on axon. It is pure
+batched GEMM on the 128×128 systolic array, so it also exposes precision
+control (full-f32 vs fast bf16-class) that the FFT path cannot.
 
 All arithmetic is REAL (complex carried as (re, im) pairs), which also
 sidesteps the axon complex64-boundary restriction (utils/tpu_compat.py).
