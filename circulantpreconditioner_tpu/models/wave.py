@@ -165,9 +165,21 @@ class WaveSystem:
 
         return step
 
-    def block_fft_stepper(self):
-        """Block-circulant direct solve per step (periodic structured grids)."""
-        op = self.block_circulant_operator
+    def block_fft_stepper(self, method: str = "auto"):
+        """Block-circulant direct solve per step (periodic structured grids).
+        method: "fft" (jnp.fft path), "matmul" (MXU DFT path), "auto"."""
+        if method == "auto":
+            method = "matmul" if jax.default_backend() in ("tpu", "axon") else "fft"
+        if method == "matmul":
+            from circulantpreconditioner_tpu.ops.dft_matmul import MatmulBlockCirculantSolver
+
+            h = np.asarray(self.mesh.spacing)  # type: ignore[attr-defined]
+            offsets, blocks = wave_block_stencil(self.dim, self.dt, self.c0, h)
+            op = MatmulBlockCirculantSolver.from_stencil(
+                tuple(reversed(self.mesh.structured_shape)), offsets, blocks,
+                dtype=self.dtype)
+        else:
+            op = self.block_circulant_operator
         return lambda U: _blockfft_step_impl(op, U)
 
     def split_fields(self, U) -> tuple[np.ndarray, np.ndarray]:

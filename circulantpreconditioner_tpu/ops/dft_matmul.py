@@ -155,3 +155,92 @@ class MatmulCirculantSolver:
 
     def as_preconditioner(self) -> jax.tree_util.Partial:
         return jax.tree_util.Partial(MatmulCirculantSolver.solve, self)
+
+
+def _axis_cdft_b(re, im, C, S, axis, ndim, precision):
+    """Complex DFT along spatial `axis` by matmul, with a trailing block dim m."""
+    sub = "zyx"[3 - ndim:] + "m"
+    a = sub[axis]
+    spec = f"{sub},{a}k->{sub.replace(a, 'k')}"
+    ein = lambda x, M: jnp.einsum(spec, x, M, preferred_element_type=re.dtype,
+                                  precision=precision)
+    re2 = ein(re, C) - ein(im, S)
+    im2 = ein(re, S) + ein(im, C)
+    return re2, im2
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class MatmulBlockCirculantSolver:
+    """Block-circulant direct solver ((m×m) blocks — the wave system) with
+    every DFT axis as an MXU matmul and the pre-inverted half-spectrum block
+    symbol applied as a batched complex matvec. MXU-robust companion to
+    ops/circulant.BlockCirculantOperator (which uses jnp.fft internally).
+    """
+
+    shape_zyx: tuple[int, ...]
+    m: int
+    arrays: tuple
+    precision: str = "highest"
+
+    def tree_flatten(self):
+        return (self.arrays,), (self.shape_zyx, self.m, self.precision)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (arrays,) = children
+        return cls(aux[0], aux[1], arrays, aux[2])
+
+    @classmethod
+    def from_stencil(cls, shape_zyx: Sequence[int], offsets, blocks,
+                     dtype=jnp.float32, precision: str = "highest"):
+        from circulantpreconditioner_tpu.ops.circulant import BlockCirculantOperator
+
+        shape_zyx = tuple(int(v) for v in shape_zyx)
+        m = np.asarray(blocks).shape[-1]
+        sym = BlockCirculantOperator.np_symbol(shape_zyx, offsets, blocks)
+        nxr = shape_zyx[-1] // 2 + 1
+        sym = sym[..., :nxr, :, :]  # hermitian symmetry: half x-spectrum
+        inv = np.linalg.inv(sym)
+        nx = shape_zyx[-1]
+        F_re, F_im, B_re, B_im = _rdft_mats(nx, dtype)
+        mats = tuple(_dft_mats(n, dtype) for n in shape_zyx[:-1])
+        return cls(
+            shape_zyx, m,
+            (jnp.asarray(inv.real, dtype=dtype), jnp.asarray(inv.imag, dtype=dtype),
+             F_re, F_im, B_re, B_im, mats),
+            precision,
+        )
+
+    @jax.jit
+    def solve(self, b: jax.Array) -> jax.Array:
+        """b flat cell-major (N·m,) or shaped (*shape_zyx, m); real."""
+        was_flat = b.ndim == 1
+        g = b.reshape(self.shape_zyx + (self.m,))
+        inv_re, inv_im, F_re, F_im, B_re, B_im, mats = self.arrays
+        prec = (jax.lax.Precision.HIGHEST if self.precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        ndim = len(self.shape_zyx)
+        sub = "zyx"[3 - ndim:] + "m"
+        # x-axis half-spectrum forward: 'zyxm,xk->zykm'
+        spec_fwd = f"{sub},xk->{sub[:-2]}km"
+        re = jnp.einsum(spec_fwd, g, F_re, preferred_element_type=g.dtype, precision=prec)
+        im = jnp.einsum(spec_fwd, g, F_im, preferred_element_type=g.dtype, precision=prec)
+        for ax_i, (C, S, _, _) in enumerate(mats):
+            re, im = _axis_cdft_b(re, im, C, S, ax_i, ndim, prec)
+        # block apply: (inv_re + i·inv_im) @ (re + i·im)
+        re, im = (
+            jnp.einsum("...ij,...j->...i", inv_re, re, precision=prec)
+            - jnp.einsum("...ij,...j->...i", inv_im, im, precision=prec),
+            jnp.einsum("...ij,...j->...i", inv_re, im, precision=prec)
+            + jnp.einsum("...ij,...j->...i", inv_im, re, precision=prec),
+        )
+        for ax_i, (_, _, Ci, Si) in enumerate(mats):
+            re, im = _axis_cdft_b(re, im, Ci, Si, ax_i, ndim, prec)
+        spec_bwd = f"{sub[:-2]}km,kx->{sub}"
+        x = jnp.einsum(spec_bwd, re, B_re, preferred_element_type=g.dtype, precision=prec) + \
+            jnp.einsum(spec_bwd, im, B_im, preferred_element_type=g.dtype, precision=prec)
+        return x.reshape(-1) if was_flat else x
+
+    def as_preconditioner(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(MatmulBlockCirculantSolver.solve, self)
