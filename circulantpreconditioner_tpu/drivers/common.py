@@ -26,7 +26,9 @@ from circulantpreconditioner_tpu.mesh.unstructured import (
 
 def base_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)
-    p.add_argument("n", nargs="*", type=int, help="nx [ny [nz]] (cartesian [-0.5,0.5]^d)")
+    p.add_argument("n", nargs="*",
+                   help="mesh.med|mesh.msh file, or nx [ny [nz]] (cartesian [-0.5,0.5]^d) "
+                        "— same positional convention as the reference drivers")
     p.add_argument("--mesh-family", choices=["cartesian", "hexa", "tetra", "kershaw"],
                    default="cartesian")
     p.add_argument("--msh", help="Gmsh .msh v2.2 file (overrides n / family)")
@@ -49,7 +51,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 def build_mesh(args):
     if args.msh:
         return read_gmsh(args.msh)
-    n = args.n or [50, 50]  # reference default 50x50 square
+    if args.n and not str(args.n[0]).lstrip("-").isdigit():
+        from circulantpreconditioner_tpu.mesh import read_mesh
+
+        return read_mesh(args.n[0])
+    n = [int(v) for v in args.n] or [50, 50]  # reference default 50x50 square
     dim = len(n)
     bounds = ((-0.5, 0.5),) * max(dim, 3 if args.mesh_family != "cartesian" else dim)
     if args.mesh_family == "cartesian":

@@ -156,6 +156,7 @@ def _fast_build_homogeneous(points, cells_arr, default_group, name):
     )
     mesh.points = points  # type: ignore[attr-defined]
     mesh.cell_vertices = [tuple(r) for r in cells_arr]  # type: ignore[attr-defined]
+    mesh.face_vertices = fv  # type: ignore[attr-defined]  # (nF,4) int64, -1 pad
     return mesh
 
 
@@ -261,6 +262,7 @@ def build_mesh_from_cells(
     )
     mesh.points = points  # type: ignore[attr-defined]
     mesh.cell_vertices = cells  # type: ignore[attr-defined]
+    mesh.face_vertices = f_vertices  # type: ignore[attr-defined]  # list of tuples
     return mesh
 
 
