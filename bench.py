@@ -9,10 +9,15 @@ single-node PETSc/FFTW path (the reference publishes no numbers; BASELINE.md
 mandates measuring).
 
 Timing methodology (load-bearing on the axon tunnel): `block_until_ready`
-does not reliably wait and `lax.scan` adds per-iteration overhead, so we
-chain K dependent solves, force completion with a full-array D2H fetch, and
-DIFFERENCE two chain lengths: per_step = (T_K2 − T_K1)/(K2 − K1), median
-over repetitions. See .claude/skills/verify/SKILL.md.
+does not reliably wait, and per-call host dispatch over the tunnel costs more
+than the solve itself — so we measure the DEVICE steady-state rate the way
+production runs the workload (the model time loops run on device via
+lax.scan, models/runner.py): one jitted `lax.fori_loop` chaining K dependent
+solves, completion forced by a full-array D2H fetch, and DIFFERENCE two loop
+lengths: per_step = (T_K2 − T_K1)/(K2 − K1), median over repetitions (the
+median filters occasional tunnel hiccups). The DFT-matmul path is loop-safe
+on this backend (the XLA FFT lowering is not — ~50× degradation under scan;
+see .claude/skills/verify/SKILL.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -73,21 +78,23 @@ def main() -> None:
     u0 = jnp.asarray(rng.random((n, n, n)).astype(np.float32) * 50 + 600)
 
     print("bench: warmup/compile...", file=sys.stderr, flush=True)
-    retry_transient(lambda: solver.solve(u0))
+
+    @jax.jit
+    def run_loop(u, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: solver.solve(v), u)
+
+    retry_transient(lambda: run_loop(u0, 4))
     np.asarray(u0)  # warm the D2H path (first transfer can take minutes)
-    np.asarray(solver.solve(u0))
+    np.asarray(run_loop(u0, 4))
 
     def chain(K: int) -> float:
-        v = u0
         t0 = time.perf_counter()
-        for _ in range(K):
-            v = solver.solve(v)
-        np.asarray(v)  # force completion
+        np.asarray(run_loop(u0, K))  # fetch forces completion
         return time.perf_counter() - t0
 
-    K1, K2 = 100, 400
+    K1, K2 = 100, 600
     per_steps = []
-    for _ in range(3):
+    for _ in range(5):
         t1 = chain(K1)
         t2 = chain(K2)
         per_steps.append((t2 - t1) / (K2 - K1))
