@@ -101,6 +101,49 @@ class Mesh:
         hi = src.max(axis=0)
         return np.stack([lo, hi], axis=1)
 
+    def set_periodic(self, axes=None, tol: float = 1e-6) -> None:
+        """Pair opposite boundary faces by translation along each axis in
+        `axes` (default: all), tag them "Periodic", and record the twin CELL
+        in `periodic_twin` — the analog of SOLVERLAB's setPeriodicFaces /
+        getIndexFacePeriodic that the reference assembly follows for its
+        Periodic BC (src/WaveSystem.cxx:159-167). Works on any mesh whose
+        boundary lies on the bounding-box planes (all shipped FVCA6 fixtures);
+        faces are matched by their in-plane center coordinates."""
+        bb = self.bbox()
+        axes = list(range(self.dim)) if axes is None else list(axes)
+        scale = float((bb[:, 1] - bb[:, 0]).max())
+        if self.periodic_twin is None:
+            self.periodic_twin = np.full(self.n_faces, -1, dtype=np.int64)
+        code = self.groups.get("Periodic")
+        if code is None:
+            code = max(self.groups.values(), default=0) + 1
+            self.groups["Periodic"] = code
+        bnd = self.boundary_faces()
+        fc = self.face_center[bnd][:, : self.dim]
+        for d in axes:
+            lo = bnd[np.abs(fc[:, d] - bb[d, 0]) < tol * scale]
+            hi = bnd[np.abs(fc[:, d] - bb[d, 1]) < tol * scale]
+            if len(lo) != len(hi):
+                raise ValueError(
+                    f"axis {d}: {len(lo)} low vs {len(hi)} high boundary faces"
+                )
+            other = [a for a in range(self.dim) if a != d]
+            key = lambda f: tuple(
+                np.round(self.face_center[f, a] / (tol * scale)).astype(np.int64)
+                for a in other
+            )
+            table = {key(f): f for f in hi}
+            if len(table) != len(hi):
+                raise ValueError(f"axis {d}: duplicate face keys — decrease tol")
+            for f in lo:
+                tw = table.get(key(f))
+                if tw is None:
+                    raise ValueError(f"axis {d}: no periodic twin for face {f}")
+                self.periodic_twin[f] = self.face_cells[tw, 0]
+                self.periodic_twin[tw] = self.face_cells[f, 0]
+                self.face_group[f] = code
+                self.face_group[tw] = code
+
     def validate(self) -> None:
         """Sanity invariants: positive volumes/areas, unit normals, and the
         divergence-theorem closure Σ_faces |F|·n = 0 per cell."""

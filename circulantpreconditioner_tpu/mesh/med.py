@@ -209,10 +209,13 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
 def read_mesh(path: str, **kw) -> Mesh:
     """Extension-dispatched mesh loader (.med / .msh) — the analog of the
     reference drivers' `Mesh(argv[1])` branch."""
+    from circulantpreconditioner_tpu.mesh.typ3 import read_typ3
     from circulantpreconditioner_tpu.mesh.unstructured import read_gmsh
 
     if path.endswith(".med"):
         return read_med(path, **kw)
     if path.endswith(".msh"):
         return read_gmsh(path, **kw)
+    if path.endswith(".typ3"):
+        return read_typ3(path, **kw)
     raise ValueError(f"unsupported mesh file: {path}")
