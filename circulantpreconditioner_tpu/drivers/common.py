@@ -42,6 +42,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--output-freq", type=int, default=1)
     p.add_argument("--result-dir", default="./results")
     p.add_argument("--vtk", action="store_true", help="write VTK snapshots")
+    p.add_argument("--med", action="store_true",
+                   help="write a MED time series (Field::writeMED analog)")
     p.add_argument("--checkpoint-freq", type=int, default=0,
                    help="save (state,t,it) every N steps (0 = off)")
     p.add_argument("--f64", action="store_true", help="float64 (CPU only)")
@@ -83,16 +85,24 @@ def setup_dtype(args):
 
 def make_output_cb(args, mesh, split=None, prefix="field"):
     os.makedirs(args.result_dir, exist_ok=True)
+    med_path = os.path.join(args.result_dir, f"{mesh.name}_{prefix}.med")
+    wrote_med = [False]
 
     def cb(it, t, U, extras):
-        if args.vtk:
+        if args.vtk or getattr(args, "med", False):
             if split is not None:
                 p, v = split(U)
                 fields = {"pressure": p, "velocity": v}
             else:
                 fields = {prefix: np.asarray(U)}
-            write_vtk(os.path.join(args.result_dir, f"{mesh.name}_{prefix}_{it:06d}.vtk"),
-                      mesh, fields, time=t)
+            if args.vtk:
+                write_vtk(os.path.join(args.result_dir, f"{mesh.name}_{prefix}_{it:06d}.vtk"),
+                          mesh, fields, time=t)
+            if getattr(args, "med", False):
+                from circulantpreconditioner_tpu.io import write_med
+
+                write_med(med_path, mesh, fields, time=t, it=it, append=wrote_med[0])
+                wrote_med[0] = True
         if args.checkpoint_freq and it % args.checkpoint_freq == 0:
             save_checkpoint(os.path.join(args.result_dir, f"{mesh.name}_ckpt.npz"),
                             U, t, it)
