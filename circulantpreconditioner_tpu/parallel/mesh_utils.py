@@ -19,6 +19,17 @@ def device_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def device_mesh_2d(shape: tuple[int, int], axes: tuple[str, str] = ("z", "y")) -> Mesh:
+    """2D device mesh for pencil decompositions. On real slices, prefer
+    shapes matching the physical ICI torus so both all_to_all groups ride
+    nearest-neighbor links."""
+    p, q = shape
+    devs = jax.devices()
+    if p * q > len(devs):
+        raise ValueError(f"requested {p * q} devices, have {len(devs)}")
+    return Mesh(np.array(devs[: p * q]).reshape(p, q), axes)
+
+
 def shard_on_axis(mesh: Mesh, axis_name: str, array_axis: int, ndim: int) -> NamedSharding:
     spec = [None] * ndim
     spec[array_axis] = axis_name

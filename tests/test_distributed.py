@@ -162,3 +162,23 @@ def test_halo_spmv_in_gmres():
         jnp.asarray(U0), jnp.asarray(U0))
     assert bool(res.converged) and bool(res_ref.converged)
     np.testing.assert_allclose(x_dist, np.asarray(res_ref.x), rtol=1e-6, atol=1e-6)
+
+
+def test_pencil_circulant_solver_matches_single_device():
+    """Pencil (2D device mesh) distributed solve == replicated solve, on both
+    mesh orientations and with an odd-padding x half-spectrum."""
+    from circulantpreconditioner_tpu.parallel import PencilCirculantSolver, device_mesh_2d
+
+    rng = np.random.default_rng(3)
+    for pq in ((4, 2), (2, 4)):
+        mesh = device_mesh_2d(pq)
+        for shape in ((8, 8, 6), (8, 8, 7)):  # nxr = 4 and 4 (odd nx too)
+            op = CirculantTransportOperator.create(shape, (0.4, -0.3, 5.0), jnp.float64)
+            solver = PencilCirculantSolver.from_operator(op, mesh)
+            b = rng.random(shape)
+            x = solver.solve(solver.shard(jnp.asarray(b)))
+            x_ref = op.solve(jnp.asarray(b))
+            np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-12)
+            # and it actually solves: residual through the operator matvec
+            r = np.asarray(op.matvec(jnp.asarray(np.asarray(x)))) - b
+            assert np.abs(r).max() < 1e-10
