@@ -47,6 +47,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-freq", type=int, default=0,
                    help="save (state,t,it) every N steps (0 = off)")
     p.add_argument("--f64", action="store_true", help="float64 (CPU only)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="device count for --shard modes (default: all visible)")
+    p.add_argument("--pq", type=int, nargs=2, default=None,
+                   help="pencil device-mesh shape (p q)")
     return p
 
 
@@ -94,7 +98,8 @@ def make_output_cb(args, mesh, split=None, prefix="field"):
                 p, v = split(U)
                 fields = {"pressure": p, "velocity": v}
             else:
-                fields = {prefix: np.asarray(U)}
+                # sharded steppers carry grid-shaped state; writers take flat cells
+                fields = {prefix: np.asarray(U).reshape(-1)}
             if args.vtk:
                 write_vtk(os.path.join(args.result_dir, f"{mesh.name}_{prefix}_{it:06d}.vtk"),
                           mesh, fields, time=t)

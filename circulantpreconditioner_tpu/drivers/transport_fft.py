@@ -18,6 +18,8 @@ from circulantpreconditioner_tpu.models import TransportEquation, run_time_loop
 def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--method", choices=["auto", "fft", "matmul"], default="auto")
+    p.add_argument("--shard", choices=["none", "slab", "pencil"], default="none",
+                   help="distributed solve over the device mesh (the _mpi analog)")
     args = p.parse_args(argv)
     dtype = setup_dtype(args)
     args.periodic = True  # the FFT direct solve is inherently periodic
@@ -30,8 +32,40 @@ def main(argv=None):
     model = TransportEquation(mesh, velocity, cfl=args.cfl or 1e3 / dim, dtype=dtype)
     print(f"-- FFT transport: mesh {mesh.name}, dt={model.dt:.4g}, "
           f"lambdas={model.fft_operator.lambdas_zyx}")
-    step = model.fft_stepper(method=args.method)
-    u0 = model.initial_state()
+    if args.shard != "none":
+        import jax
+        import jax.numpy as jnp
+
+        from circulantpreconditioner_tpu.parallel import (
+            PencilCirculantSolver,
+            SlabCirculantSolver,
+            device_mesh,
+            device_mesh_2d,
+        )
+        from circulantpreconditioner_tpu.utils import tile_scalar
+
+        op = model.fft_operator
+        if dim != 3:
+            raise SystemExit("--shard needs a 3D grid")
+        if args.shard == "slab":
+            dm = device_mesh(args.devices)
+            solver = SlabCirculantSolver.from_operator(op, dm)
+        else:
+            n = args.devices or len(jax.devices())
+            pq = tuple(args.pq) if args.pq else (max(n // 2, 1), 2 if n >= 2 else 1)
+            dm = device_mesh_2d(pq)
+            solver = PencilCirculantSolver.from_operator(op, dm)
+        print(f"-- sharded over {dm.shape} devices ({args.shard})")
+        dnorm = jax.jit(lambda a, b: tile_scalar(jnp.linalg.norm(a - b)))
+
+        def step(u):
+            u1 = solver.solve(u)
+            return u1, dnorm(u1, u)
+
+        u0 = solver.shard(np.asarray(model.initial_state()).reshape(op.shape_zyx))
+    else:
+        step = model.fft_stepper(method=args.method)
+        u0 = model.initial_state()
     res = run_time_loop(
         step, u0, model.dt, tmax=args.tmax, ntmax=args.ntmax,
         precision=args.precision, output_freq=args.output_freq,

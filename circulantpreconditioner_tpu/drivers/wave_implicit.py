@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--atol", type=float, default=1e-5)
     p.add_argument("--maxits", type=int, default=1000)
+    p.add_argument("--shard", choices=["none", "rows"], default="none",
+                   help="row-sharded SpMV + psum GMRES over the device mesh "
+                        "(the impl_mpi analog)")
     args = p.parse_args(argv)
     dtype = setup_dtype(args)
     mesh = build_mesh(args)
@@ -71,11 +74,42 @@ def main(argv=None):
         step = model.implicit_stepper(M=M, rtol=args.rtol, atol=args.atol,
                                       maxiter=args.maxits, side=side)
 
+    U0 = model.initial_state()
+    unshard = None
+    if args.shard == "rows" and args.pc not in ("blockfft",):
+        import jax.numpy as jnp
+
+        from circulantpreconditioner_tpu.models.transport import _dnorm_impl
+        from circulantpreconditioner_tpu.parallel import device_mesh
+        from circulantpreconditioner_tpu.parallel.spmv_dist import ShardedELLMatrix
+        from circulantpreconditioner_tpu.solvers import make_gmres
+
+        if M is not None:
+            raise SystemExit("--shard rows currently supports --pc none")
+        dm = device_mesh(args.devices)
+        As = ShardedELLMatrix(model.divergence.to_csr(dtype), dm)
+        print(f"-- row-sharded over {dm.shape} devices "
+              f"(n={As.n}, padded {As.n_padded})")
+        solver = make_gmres(lambda v: v + As.matvec(v), rtol=args.rtol,
+                            atol=args.atol, maxiter=args.maxits)
+
+        def step(u):
+            res = solver(u, u)
+            return res.x, _dnorm_impl(res.x, u), res.iters, res.resnorm, res.converged
+
+        U0 = As.shard_vector(np.asarray(U0))
+        unshard = As.unshard_vector
+
+    cb = make_output_cb(args, mesh, split=model.split_fields, prefix="wave")
+    on_out = cb if unshard is None else (
+        lambda it, t, U, extras: cb(it, t, unshard(U), extras))
     res = run_time_loop(
-        step, model.initial_state(), model.dt, tmax=args.tmax, ntmax=args.ntmax,
+        step, U0, model.dt, tmax=args.tmax, ntmax=args.ntmax,
         precision=args.precision, output_freq=args.output_freq,
-        on_output=make_output_cb(args, mesh, split=model.split_fields, prefix="wave"),
+        on_output=on_out,
     )
+    if unshard is not None:
+        res.state = unshard(res.state)
     pfin, vfin = model.split_fields(res.state)
     its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
     print(f"\nEnd at it={res.iterations} t={res.time:.6g} stationary={res.stationary}")

@@ -65,3 +65,24 @@ def test_wave_implicit_checkpoint_resume(tmp_path):
     assert ckpts
     state, t, it, _ = load_checkpoint(ckpts[0])
     assert it >= 1 and t > 0 and np.isfinite(state).all()
+
+
+def test_transport_fft_driver_sharded_slab(tmp_path):
+    res = transport_fft.main(["8", "8", "8", "--shard", "slab"] + _common(tmp_path, []))
+    u = np.asarray(res.state)
+    assert u.shape == (8, 8, 8)
+    assert u.min() > 599.0 and u.max() < 651.0
+
+
+def test_transport_fft_driver_sharded_pencil(tmp_path):
+    res = transport_fft.main(
+        ["6", "8", "8", "--shard", "pencil", "--pq", "4", "2"] + _common(tmp_path, []))
+    u = np.asarray(res.state)
+    assert u.min() > 599.0 and u.max() < 651.0
+
+
+def test_wave_implicit_driver_sharded_rows(tmp_path):
+    res = wave_implicit.main(["10", "10", "--shard", "rows", "--pc", "none"]
+                             + _common(tmp_path, []))
+    assert np.isfinite(np.asarray(res.state)).all()
+    assert np.asarray(res.state).size == 10 * 10 * 3  # unsharded/unpadded
