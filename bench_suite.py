@@ -1,0 +1,171 @@
+"""Full benchmark suite — the BASELINE.md north-star metrics.
+
+Prints one JSON line per metric (bench.py remains the driver's single
+flagship line):
+  1. circulant_pc_applies_per_s_100cubed  — FFT direct solve, 100³
+     (reference's largest registered case, tests/CMakeLists.txt:42)
+  2. spmv_gnnz_per_s_kershaw              — wave BSR SpMV on a Kershaw-3
+     sized mesh (32³ = 32,768 cells, meshes/README.md:37-40), ELL on device.
+     (Host note: this box faults fresh mmap pages pathologically slowly —
+     large-mesh preprocessing benefits from MALLOC_MMAP_MAX_=0
+     MALLOC_TRIM_THRESHOLD_=-1; device timing is unaffected.)
+  3. wave_implicit_step_ms_kershaw        — one implicit WaveSystem GMRES
+     step (tol 1e-5, pbjacobi PC) on a Kershaw mesh, per-step wall time +
+     iteration count (the reference prints but never records these,
+     WaveSystem_..._impl_seq.cxx:138-148)
+
+Baselines: SciPy pocketfft / scipy.sparse CSR on this host's CPU — the
+single-node PETSc/FFTW stand-in (the reference publishes no numbers).
+
+Timing: jitted lax.fori_loop chains, differenced (see bench.py docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def _dev_time(run, u0, K1=50, K2=250, reps=5):
+    import jax  # noqa: F401
+
+    def chain(K):
+        t0 = time.perf_counter()
+        np.asarray(run(u0, K))
+        return time.perf_counter() - t0
+
+    per = []
+    for _ in range(reps):
+        t1 = chain(K1)
+        t2 = chain(K2)
+        per.append((t2 - t1) / (K2 - K1))
+    return max(statistics.median(per), 1e-7)
+
+
+def bench_circulant():
+    import jax
+    import jax.numpy as jnp
+    from scipy import fft as sfft
+
+    from circulantpreconditioner_tpu.ops.circulant import (
+        CirculantTransportOperator,
+        np_eigenvalue_diagonal,
+    )
+    from circulantpreconditioner_tpu.ops.dft_matmul import MatmulCirculantSolver
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    n = 100
+    h = 1.0 / n
+    dt = (1e3 / 3) * (h / 6)
+    lambdas = (0.0, 0.0, 1.0 * dt / h)
+    op = CirculantTransportOperator.create((n, n, n), lambdas, jnp.float32)
+    solver = MatmulCirculantSolver.from_operator(op, precision="highest")
+    u0 = jnp.asarray(np.random.default_rng(1).random((n, n, n)).astype(np.float32))
+
+    @jax.jit
+    def run(u, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: solver.solve(v), u)
+
+    retry_transient(lambda: run(u0, 4))
+    np.asarray(run(u0, 4))
+    per = _dev_time(run, u0, K1=100, K2=600)
+
+    lam = np_eigenvalue_diagonal((n, n, n), lambdas, rfft=True).astype(np.complex64)
+    v = np.asarray(u0)
+    sfft.irfftn(sfft.rfftn(v) / lam, s=v.shape)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        v = sfft.irfftn(sfft.rfftn(v) / lam, s=v.shape).astype(np.float32)
+    base = (time.perf_counter() - t0) / 20
+    return {"metric": "circulant_pc_applies_per_s_100cubed", "value": round(1 / per, 1),
+            "unit": "solves/s", "vs_baseline": round(base / per, 1)}
+
+
+def bench_spmv(n_side=32):
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    print(f"bench: building kershaw {n_side}^3 ...", file=sys.stderr, flush=True)
+    mesh = kershaw_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+    A = model.divergence.to_csr(jnp.float32)
+    nnz = A.nnz
+    D = model.divergence_op()  # auto → gather-free varying stencil on Kershaw
+    x0 = jnp.asarray(np.random.default_rng(0).random(A.shape[0]).astype(np.float32))
+
+    @jax.jit
+    def run(x, K):
+        # dependent chain with renormalization to avoid overflow
+        def body(i, v):
+            y = D(v)
+            return y / jnp.maximum(jnp.linalg.norm(y), 1e-30) * jnp.linalg.norm(v)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    retry_transient(lambda: run(x0, 4))
+    np.asarray(run(x0, 4))
+    per = _dev_time(run, x0, K1=50, K2=250)
+
+    As = A.to_scipy()
+    xv = np.asarray(x0)
+    As @ xv
+    t0 = time.perf_counter()
+    for _ in range(20):
+        yv = As @ xv
+        xv = yv / max(np.linalg.norm(yv), 1e-30) * np.linalg.norm(xv)
+    base = (time.perf_counter() - t0) / 20
+    return {"metric": f"spmv_gnnz_per_s_kershaw{n_side}", "value": round(nnz / per / 1e9, 3),
+            "unit": "Gnnz/s", "vs_baseline": round(base / per, 1)}
+
+
+def bench_wave_implicit(n_side=16):
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.solvers import preconditioners as pcs
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    mesh = kershaw_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+    from circulantpreconditioner_tpu.solvers.circulant_pc import BlockCirculantProjectionPC
+
+    coarse = BlockCirculantProjectionPC(mesh, model.dt, model.c0, dtype=jnp.float32)
+    M = pcs.additive(coarse.apply, pcs.pbjacobi(model.divergence, shift=1.0))
+    step = model.implicit_stepper(M=M, rtol=1e-5, atol=1e-5, maxiter=1000,
+                                  side="right")
+    U = model.initial_state()
+    out = retry_transient(lambda: step(U))
+    np.asarray(out[0])
+    times, iters = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = step(U)
+        np.asarray(out[0])
+        times.append(time.perf_counter() - t0)
+        iters.append(int(np.asarray(out[2])))
+    return {"metric": f"wave_implicit_step_ms_kershaw{n_side}",
+            "value": round(statistics.median(times) * 1e3, 2), "unit": "ms/step",
+            "gmres_iters": iters[0], "converged": bool(np.asarray(out[4]))}
+
+
+def main():
+    from circulantpreconditioner_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    for fn in (bench_circulant, bench_spmv, bench_wave_implicit):
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # keep the suite going; record the failure
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

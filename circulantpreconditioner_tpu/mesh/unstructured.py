@@ -295,7 +295,9 @@ def hex_mesh(bounds, n, name=None) -> Mesh:
     """Uniform hexahedra as an *unstructured* mesh (FVCA6 'mesh_hexa' family,
     meshes/README.md:16-19) — exercises the generic face-extraction path."""
     pts, cells = _hex_grid_points_cells(bounds, n)
-    return build_mesh_from_cells(pts, cells, name=name or f"hexa_{'x'.join(map(str, n))}")
+    m = build_mesh_from_cells(pts, cells, name=name or f"hexa_{'x'.join(map(str, n))}")
+    m.topology_shape = tuple(int(v) for v in n)  # type: ignore[attr-defined]
+    return m
 
 
 def tet_mesh(bounds, n, name=None) -> Mesh:
@@ -319,17 +321,23 @@ def kershaw_mesh(bounds, n, eps: float = 0.3, name=None) -> Mesh:
         # normalize to unit cube
         u = (pts - lo) / (hi - lo)
         x, y, z = u[:, 0], u[:, 1], u[:, 2]
-        # kinked shear: triangular wave in x and y scales the z displacement
+        # kinked shear: triangular wave in x and y scales the z displacement.
+        # zn = z + a·sin(2πz)/π has slope 1 + 2a·cos(2πz) ≥ 1 − 2·amp_max =
+        # eps > 0, so the map is strictly monotone in z and cells never fold
+        # (inverted cells at n ≥ 12 were the failure mode of a steeper
+        # profile) — valid at every resolution like the true Kershaw family.
         tri = lambda t: 1.0 - 2.0 * np.abs(t - np.floor(t + 0.5))
         amp = 0.5 * (1.0 - eps) * tri(2 * x) * tri(2 * y)
-        zn = z + amp * np.sin(2 * np.pi * z) / (2 * np.pi) * 4.0
-        zn = np.clip(zn, 0.0, 1.0)
+        zn = z + amp * np.sin(2 * np.pi * z) / np.pi
         out = u.copy()
         out[:, 2] = zn
         return lo + out * (hi - lo)
 
     pts, cells = _hex_grid_points_cells(bounds, n, warp=warp)
     m = build_mesh_from_cells(pts, cells, name=name or f"kershaw_{'x'.join(map(str, n))}")
+    # geometry is warped but the topology is still the (nx,ny,nz) grid —
+    # unlocks the gather-free VaryingStencilOperator SpMV path
+    m.topology_shape = tuple(int(v) for v in n)  # type: ignore[attr-defined]
     return m
 
 

@@ -137,11 +137,23 @@ class TransportEquation:
 
     def divergence_op(self, operator: str = "auto"):
         """D as a pytree-callable: 'stencil' (gather-free structured fast
-        path), 'matrix' (assembled CSR), or 'auto'."""
+        path), 'varying' (gather-free per-cell-coefficient stencil for
+        topologically structured meshes, e.g. Kershaw), 'matrix' (assembled
+        CSR), or 'auto'."""
         if operator == "auto":
-            operator = "stencil" if self._stencil_bc() else "matrix"
+            if self._stencil_bc():
+                operator = "stencil"
+            elif getattr(self.mesh, "topology_shape", None) is not None:
+                operator = "varying"
+            else:
+                operator = "matrix"
         if operator == "stencil":
             return self.stencil_operator.matvec_partial()
+        if operator == "varying":
+            from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+
+            return VaryingStencilOperator.from_csr(
+                self.divergence, self.mesh.topology_shape).matvec_partial()  # type: ignore[attr-defined]
         return self.divergence.matvec_partial()
 
     # --- steppers -----------------------------------------------------------

@@ -125,11 +125,23 @@ class WaveSystem:
 
     def divergence_op(self, operator: str = "auto"):
         """The D operator as a pytree-callable: 'stencil' (structured fast
-        path), 'matrix' (assembled BSR), or 'auto'."""
+        path), 'varying' (gather-free per-cell-block stencil on topologically
+        structured meshes, e.g. the Kershaw family), 'matrix' (assembled
+        BSR), or 'auto'."""
         if operator == "auto":
-            operator = "stencil" if self._homogeneous_bc() else "matrix"
+            if self._homogeneous_bc():
+                operator = "stencil"
+            elif getattr(self.mesh, "topology_shape", None) is not None:
+                operator = "varying"
+            else:
+                operator = "matrix"
         if operator == "stencil":
             return self.stencil_operator.matvec_partial()
+        if operator == "varying":
+            from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+
+            return VaryingStencilOperator.from_bsr(
+                self.divergence, self.mesh.topology_shape).matvec_partial()  # type: ignore[attr-defined]
         return self.divergence.matvec_partial()
 
     @cached_property

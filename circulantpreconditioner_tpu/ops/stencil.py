@@ -197,3 +197,111 @@ class TransportStencilOperator:
 
     def matvec_partial(self) -> jax.tree_util.Partial:
         return jax.tree_util.Partial(TransportStencilOperator.matvec, self)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class VaryingStencilOperator:
+    """Gather-free SpMV for TOPOLOGICALLY structured meshes with varying
+    coefficients (the warped Kershaw/hexa FVCA6 families): the assembled
+    CSR/BSR operator is re-expressed as per-offset dense coefficient fields
+
+        y[c] = Σ_off  C_off[c] @ x[c + off],   off ∈ {0, ±ex, ±ey, ±ez}
+
+    and applied with jnp.roll shifts + batched (m×m) einsum contractions —
+    no gathers, streams at HBM bandwidth with MXU block contractions. This
+    is the TPU answer to the reference's generic PETSc MatMult on its
+    Kershaw benchmark meshes (meshes/README.md:30-40): the topology is a
+    grid even when the geometry is not.
+
+    Wall/Neumann boundaries need no masks: the assembled matrix simply has
+    zero blocks on the outward-facing boundary layers, so wrapped roll
+    values are multiplied by zero. Periodic wrap IS the roll. Hence exact
+    equality with the assembled matvec by construction (tests/test_stencil).
+    """
+
+    shape_zyx: tuple[int, ...]
+    m: int
+    offsets: tuple[tuple[int, ...], ...]  # static, zyx order
+    coefs: tuple  # per-offset (*(shape_zyx), m, m) device arrays
+
+    def tree_flatten(self):
+        return (self.coefs,), (self.shape_zyx, self.m, self.offsets)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], aux[2], children[0])
+
+    @classmethod
+    def from_blocks(cls, rows, cols, blocks, shape_xyz, dtype=jnp.float32):
+        """rows/cols: block indices (nnzb,), blocks: (nnzb, m, m) — e.g. a
+        BSR's expanded COO. shape_xyz: cell-grid shape, x-fastest numbering."""
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        blocks = np.asarray(blocks)
+        m = blocks.shape[-1]
+        dims_xyz = tuple(int(v) for v in shape_xyz)
+        nx = dims_xyz[0]
+        ny = dims_xyz[1] if len(dims_xyz) > 1 else 1
+        nz = dims_xyz[2] if len(dims_xyz) > 2 else 1
+
+        def split(idx):
+            return idx % nx, (idx // nx) % ny, idx // (nx * ny)
+
+        rx, ry, rz = split(rows)
+        cx, cy, cz = split(cols)
+
+        def delta(a, b, n):
+            d = (b - a) % n
+            out = np.where(d == 0, 0, np.where(d == 1, 1, np.where(d == n - 1, -1, 99)))
+            return out
+
+        dx, dy, dz = delta(rx, cx, nx), delta(ry, cy, ny), delta(rz, cz, nz)
+        if (np.abs(dx) > 1).any() or (np.abs(dy) > 1).any() or (np.abs(dz) > 1).any():
+            raise ValueError("matrix is not a face-neighbour stencil on this grid")
+        if ((dx != 0).astype(int) + (dy != 0).astype(int) + (dz != 0).astype(int) > 1).any():
+            raise ValueError("matrix couples diagonal neighbours — not a 7-point stencil")
+
+        shape_zyx = (nz, ny, nx)
+        key = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+        offsets, coefs = [], []
+        for k in np.unique(key):
+            sel = key == k
+            C = np.zeros(shape_zyx + (m, m), dtype=np.float64)
+            np.add.at(C, (rz[sel], ry[sel], rx[sel]), blocks[sel])
+            off_zyx = (int(k) // 9 - 1, (int(k) // 3) % 3 - 1, int(k) % 3 - 1)
+            offsets.append(off_zyx)
+            coefs.append(jnp.asarray(C, dtype=dtype))
+        return cls(shape_zyx, m, tuple(offsets), tuple(coefs))
+
+    @classmethod
+    def from_csr(cls, A, shape_xyz, dtype=None):
+        """Scalar (m=1) variant from a CSRMatrix."""
+        sp = A.to_scipy().tocoo()
+        return cls.from_blocks(sp.row, sp.col, sp.data.reshape(-1, 1, 1), shape_xyz,
+                               dtype=dtype or A.data.dtype)
+
+    @classmethod
+    def from_bsr(cls, A, shape_xyz, dtype=None):
+        """Block variant from a BSRMatrix (block COO layout)."""
+        return cls.from_blocks(np.asarray(A.brow_ids), np.asarray(A.indices),
+                               np.asarray(A.blocks), shape_xyz,
+                               dtype=dtype or A.blocks.dtype)
+
+    @jax.jit
+    def matvec(self, x: jax.Array) -> jax.Array:
+        g = x.reshape(self.shape_zyx + (self.m,))
+        out = jnp.zeros_like(g)
+        for off, C in zip(self.offsets, self.coefs):
+            nbr = g
+            for ax, o in enumerate(off):
+                if o:
+                    nbr = jnp.roll(nbr, -o, axis=ax)
+            out = out + jnp.einsum("...ij,...j->...i", C, nbr)
+        return out.reshape(-1)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+    def matvec_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(VaryingStencilOperator.matvec, self)

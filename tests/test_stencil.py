@@ -63,3 +63,64 @@ def test_transport_stencil_3d():
     np.testing.assert_allclose(
         np.asarray(S.matvec(jnp.asarray(u))), np.asarray(D.matvec(jnp.asarray(u))),
         atol=1e-12)
+
+
+def test_varying_stencil_matches_assembled_kershaw():
+    """VaryingStencilOperator (gather-free SpMV for topologically structured
+    meshes) must equal the assembled CSR/BSR matvec exactly — wall and
+    periodic BCs, scalar and block."""
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import TransportEquation, WaveSystem
+    from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+
+    rng = np.random.default_rng(0)
+    m = kershaw_mesh(((0.0, 1.0),) * 3, (4, 3, 2))
+    t = TransportEquation(m, velocity=[1.0, 0.5, -0.2], cfl=3.0, dtype=jnp.float64)
+    V = VaryingStencilOperator.from_csr(t.divergence, m.topology_shape)
+    x = rng.random(m.n_cells)
+    np.testing.assert_allclose(np.asarray(V.matvec(jnp.asarray(x))),
+                               np.asarray(t.divergence.matvec(jnp.asarray(x))), atol=1e-14)
+
+    w = WaveSystem(m, cfl=10.0, dtype=jnp.float64)
+    Vb = VaryingStencilOperator.from_bsr(w.divergence, m.topology_shape)
+    xb = rng.random(m.n_cells * 4)
+    np.testing.assert_allclose(np.asarray(Vb.matvec(jnp.asarray(xb))),
+                               np.asarray(w.divergence.matvec(jnp.asarray(xb))), atol=1e-12)
+
+    m2 = kershaw_mesh(((0.0, 1.0),) * 3, (4, 4, 2))
+    m2.set_periodic()
+    t2 = TransportEquation(m2, velocity=[1.0, 0.5, -0.2], cfl=3.0, dtype=jnp.float64)
+    V2 = VaryingStencilOperator.from_csr(t2.divergence, m2.topology_shape)
+    x2 = rng.random(m2.n_cells)
+    np.testing.assert_allclose(np.asarray(V2.matvec(jnp.asarray(x2))),
+                               np.asarray(t2.divergence.matvec(jnp.asarray(x2))), atol=1e-14)
+
+
+def test_varying_stencil_rejects_non_stencil():
+    """A matrix with non-neighbour coupling must be refused."""
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.ops.csr import CSRMatrix
+    from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+
+    A = CSRMatrix.from_coo(8, 8, [0, 0], [0, 5], [1.0, 2.0], dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        VaryingStencilOperator.from_csr(A, (2, 2, 2))
+
+
+def test_wave_auto_dispatches_varying_on_kershaw():
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+
+    m = kershaw_mesh(((0.0, 1.0),) * 3, (3, 3, 3))
+    w = WaveSystem(m, cfl=10.0, dtype=jnp.float64)
+    D = w.divergence_op()  # auto
+    assert D.func is VaryingStencilOperator.matvec
+    U = w.initial_state()
+    np.testing.assert_allclose(np.asarray(D(U)), np.asarray(w.divergence.matvec(U)),
+                               atol=1e-9)
