@@ -112,6 +112,87 @@ def transport_divergence_csr(
     )
 
 
+def diffusion_csr(
+    mesh: Mesh,
+    dt: float,
+    nu: float,
+    dtype=jnp.float32,
+    boundary: str = "auto",
+) -> CSRMatrix:
+    """Scalar diffusion operator D = dt·ν·L (two-point flux approximation,
+    no identity shift), so the implicit heat step is (I + D)uⁿ⁺¹ = uⁿ.
+
+    The diffusion equation is the reference's named next capability
+    (StructuredDiffusionContext / FFTPrecDiffusionContext, reference
+    ToDo.md:5-6) — same FV/FFT structure with the diffusive symbol.
+
+    TPFA flux per face: ν·|F|·(u_other − u_cell)/d with d = ‖c_other −
+    c_cell‖ (periodic faces: d = 2·‖x_face − c_cell‖ across the wrap).
+    Boundary default: insulated (Neumann no-flux), Periodic honored like the
+    transport assembly. L is symmetric positive semi-definite; constants are
+    in its kernel (conservation) — asserted in tests/test_diffusion.py.
+    """
+    L = mesh.face_cells[:, 0]
+    R = mesh.face_cells[:, 1]
+    interior = R >= 0
+    cc = mesh.cell_center[:, : mesh.dim]
+    fc = mesh.face_center[:, : mesh.dim]
+
+    cell = np.concatenate([L, R[interior]])
+    other = np.concatenate([R, L[interior]])
+    area = np.concatenate([mesh.face_area, mesh.face_area[interior]])
+    group = np.concatenate([mesh.face_group, mesh.face_group[interior]])
+    fctr = np.concatenate([fc, fc[interior]])
+    twin = mesh.periodic_twin if mesh.periodic_twin is not None else np.full(mesh.n_faces, -1)
+    twin_cell = np.concatenate([twin, np.full(int(interior.sum()), -1, dtype=np.int64)])
+
+    is_boundary = other < 0
+    rows, cols, vals = [], [], []
+
+    m_int = ~is_boundary
+    d = np.linalg.norm(cc[other[m_int]] - cc[cell[m_int]], axis=1)
+    coef = dt * nu * area[m_int] / (d * mesh.cell_volume[cell[m_int]])
+    rows += [cell[m_int], cell[m_int]]
+    cols += [cell[m_int], other[m_int]]
+    vals += [coef, -coef]
+
+    if boundary == "auto" and mesh.periodic_twin is not None:
+        per_code = mesh.groups.get("Periodic")
+        if per_code is not None:
+            m_per = is_boundary & (group == per_code) & (twin_cell >= 0)
+            d = 2.0 * np.linalg.norm(fctr[m_per] - cc[cell[m_per]], axis=1)
+            coef = dt * nu * area[m_per] / (d * mesh.cell_volume[cell[m_per]])
+            rows += [cell[m_per], cell[m_per]]
+            cols += [cell[m_per], twin_cell[m_per]]
+            vals += [coef, -coef]
+    # all other boundaries: no flux (insulated)
+
+    n = mesh.n_cells
+    return CSRMatrix.from_coo(
+        n, n, np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), dtype=dtype
+    )
+
+
+def diffusion_stencil(dim: int, dt: float, nu: float, spacing_xyz):
+    """Periodic-uniform-grid stencil {offset_zyx: coeff} of D = dt·ν·L —
+    feeds BlockCirculantOperator/MatmulBlockCirculantSolver.from_stencil
+    (m=1) for the FFT direct solve and the diffusion circulant PC."""
+    h = np.asarray(spacing_xyz, dtype=np.float64)[:dim]
+    lam = dt * nu / (h * h)  # xyz
+    offsets, blocks = [], []
+    diag = 2.0 * float(lam.sum())
+    offsets.append((0,) * dim)
+    blocks.append([[diag]])
+    for d_xyz in range(dim):
+        ax_zyx = dim - 1 - d_xyz
+        for sgn in (+1, -1):
+            off = [0] * dim
+            off[ax_zyx] = sgn
+            offsets.append(tuple(off))
+            blocks.append([[-float(lam[d_xyz])]])
+    return offsets, np.asarray(blocks)
+
+
 def wave_jacobian_blocks(normal: np.ndarray, c0: float) -> tuple[np.ndarray, np.ndarray]:
     """Batched A(n) and |A|(n) for the linear wave system; normal (k, dim).
 

@@ -177,3 +177,31 @@ def _scalar_proj_apply(P, solver, P_back, r):
     r_cart = P.matvec(r)
     x_cart = solver.solve(r_cart.reshape(solver.shape_zyx)).reshape(-1)
     return P_back.matvec(x_cart)
+
+
+class DiffusionProjectionPC:
+    """Circulant projection PC for the DIFFUSION equation on unstructured
+    meshes — the FFTPrecDiffusionContext the reference planned (reference
+    ToDo.md:5-6): project residual to the derived cartesian grid, solve
+    (I + dt·ν·L_h)⁻¹ in frequency space, project back."""
+
+    def __init__(self, mesh: Mesh, dt: float, nu: float, dtype=jnp.float32,
+                 samples_per_axis: int = 3):
+        from circulantpreconditioner_tpu.ops.assembly import diffusion_stencil
+        from circulantpreconditioner_tpu.ops.circulant import BlockCirculantOperator
+
+        n_xyz, spacing, _, bbox = derive_grid_context(mesh, [0.0] * mesh.dim, dt)
+        self.n_xyz = n_xyz
+        offsets, blocks = diffusion_stencil(mesh.dim, dt, nu, spacing)
+        blocks = blocks.copy()
+        blocks[0] += 1.0  # symbol of I + D
+        self.op = BlockCirculantOperator.from_stencil(
+            tuple(reversed(n_xyz)), offsets, blocks, dtype
+        )
+        self.P, self.P_back = build_projection_matrices(
+            mesh, n_xyz, bbox, samples_per_axis, dtype
+        )
+        self.apply = jax.tree_util.Partial(_block_proj_apply, self.P, self.op, self.P_back)
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        return self.apply(r)

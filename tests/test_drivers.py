@@ -86,3 +86,19 @@ def test_wave_implicit_driver_sharded_rows(tmp_path):
                              + _common(tmp_path, []))
     assert np.isfinite(np.asarray(res.state)).all()
     assert np.asarray(res.state).size == 10 * 10 * 3  # unsharded/unpadded
+
+
+def test_diffusion_driver_cg(tmp_path):
+    from circulantpreconditioner_tpu.drivers import diffusion_implicit
+
+    res = diffusion_implicit.main(["10", "10"] + _common(tmp_path, []))
+    u = np.asarray(res.state)
+    assert u.min() > 599.0 and u.max() < 651.0
+
+
+def test_diffusion_driver_fft_periodic(tmp_path):
+    from circulantpreconditioner_tpu.drivers import diffusion_implicit
+
+    res = diffusion_implicit.main(["8", "8", "8", "--method", "fft"] + _common(tmp_path, []))
+    u = np.asarray(res.state)
+    assert u.min() > 599.0 and u.max() < 651.0
