@@ -305,7 +305,12 @@ def tet_mesh(bounds, n, name=None) -> Mesh:
     meshes/README.md:23-26)."""
     pts, hexes = _hex_grid_points_cells(bounds, n)
     cells = [tuple(h[i] for i in tet) for h in hexes for tet in _HEX_TO_TETS]
-    return build_mesh_from_cells(pts, cells, name=name or f"tetra_{'x'.join(map(str, n))}")
+    m = build_mesh_from_cells(pts, cells, name=name or f"tetra_{'x'.join(map(str, n))}")
+    # hex-major numbering: 6 tets per hex = one SITE of the (nx,ny,nz) grid —
+    # unlocks the gather-free supercell stencil SpMV
+    m.topology_shape = tuple(int(v) for v in n)  # type: ignore[attr-defined]
+    m.cells_per_site = 6  # type: ignore[attr-defined]
+    return m
 
 
 def kershaw_mesh(bounds, n, eps: float = 0.3, name=None) -> Mesh:

@@ -86,7 +86,8 @@ class DiffusionEquation:
             from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
 
             return VaryingStencilOperator.from_csr(
-                self.divergence, self.mesh.topology_shape).matvec_partial()  # type: ignore[attr-defined]
+                self.divergence, self.mesh.topology_shape,
+                cells_per_site=getattr(self.mesh, "cells_per_site", 1)).matvec_partial()  # type: ignore[attr-defined]
         return self.divergence.matvec_partial()
 
     def implicit_matvec(self, operator: str = "auto"):

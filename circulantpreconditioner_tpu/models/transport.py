@@ -153,7 +153,8 @@ class TransportEquation:
             from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
 
             return VaryingStencilOperator.from_csr(
-                self.divergence, self.mesh.topology_shape).matvec_partial()  # type: ignore[attr-defined]
+                self.divergence, self.mesh.topology_shape,
+                cells_per_site=getattr(self.mesh, "cells_per_site", 1)).matvec_partial()  # type: ignore[attr-defined]
         return self.divergence.matvec_partial()
 
     # --- steppers -----------------------------------------------------------

@@ -141,7 +141,8 @@ class WaveSystem:
             from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
 
             return VaryingStencilOperator.from_bsr(
-                self.divergence, self.mesh.topology_shape).matvec_partial()  # type: ignore[attr-defined]
+                self.divergence, self.mesh.topology_shape,
+                cells_per_site=getattr(self.mesh, "cells_per_site", 1)).matvec_partial()  # type: ignore[attr-defined]
         return self.divergence.matvec_partial()
 
     @cached_property

@@ -218,6 +218,12 @@ class VaryingStencilOperator:
     zero blocks on the outward-facing boundary layers, so wrapped roll
     values are multiplied by zero. Periodic wrap IS the roll. Hence exact
     equality with the assembled matvec by construction (tests/test_stencil).
+
+    `cells_per_site` > 1 groups consecutive cells into one grid SITE
+    (supercell): the FVCA6 tetra family is 6 tets per hex in hex-major
+    numbering, so with cells_per_site=6 each site block is (6m × 6m) and
+    inter-site coupling stays a 7-point stencil — the tet meshes get the
+    gather-free path too, at the cost of the dense-block zero padding.
     """
 
     shape_zyx: tuple[int, ...]
@@ -233,23 +239,29 @@ class VaryingStencilOperator:
         return cls(aux[0], aux[1], aux[2], children[0])
 
     @classmethod
-    def from_blocks(cls, rows, cols, blocks, shape_xyz, dtype=jnp.float32):
+    def from_blocks(cls, rows, cols, blocks, shape_xyz, dtype=jnp.float32,
+                    cells_per_site: int = 1):
         """rows/cols: block indices (nnzb,), blocks: (nnzb, m, m) — e.g. a
-        BSR's expanded COO. shape_xyz: cell-grid shape, x-fastest numbering."""
+        BSR's expanded COO. shape_xyz: SITE-grid shape, x-fastest numbering;
+        cells_per_site consecutive block rows form one site."""
         rows = np.asarray(rows)
         cols = np.asarray(cols)
         blocks = np.asarray(blocks)
         m = blocks.shape[-1]
+        g = int(cells_per_site)
         dims_xyz = tuple(int(v) for v in shape_xyz)
         nx = dims_xyz[0]
         ny = dims_xyz[1] if len(dims_xyz) > 1 else 1
         nz = dims_xyz[2] if len(dims_xyz) > 2 else 1
 
+        site_r, sub_r = rows // g, rows % g
+        site_c, sub_c = cols // g, cols % g
+
         def split(idx):
             return idx % nx, (idx // nx) % ny, idx // (nx * ny)
 
-        rx, ry, rz = split(rows)
-        cx, cy, cz = split(cols)
+        rx, ry, rz = split(site_r)
+        cx, cy, cz = split(site_c)
 
         def delta(a, b, n):
             d = (b - a) % n
@@ -263,30 +275,35 @@ class VaryingStencilOperator:
             raise ValueError("matrix couples diagonal neighbours — not a 7-point stencil")
 
         shape_zyx = (nz, ny, nx)
+        M = g * m
         key = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
         offsets, coefs = [], []
         for k in np.unique(key):
             sel = key == k
-            C = np.zeros(shape_zyx + (m, m), dtype=np.float64)
-            np.add.at(C, (rz[sel], ry[sel], rx[sel]), blocks[sel])
+            # (site grid, sub_r, sub_c, m, m) — transposed/reshaped to (M, M)
+            C = np.zeros(shape_zyx + (g, g, m, m), dtype=np.float64)
+            np.add.at(C, (rz[sel], ry[sel], rx[sel], sub_r[sel], sub_c[sel]), blocks[sel])
+            C = C.transpose(0, 1, 2, 3, 5, 4, 6).reshape(shape_zyx + (M, M))
             off_zyx = (int(k) // 9 - 1, (int(k) // 3) % 3 - 1, int(k) % 3 - 1)
             offsets.append(off_zyx)
             coefs.append(jnp.asarray(C, dtype=dtype))
-        return cls(shape_zyx, m, tuple(offsets), tuple(coefs))
+        return cls(shape_zyx, M, tuple(offsets), tuple(coefs))
 
     @classmethod
-    def from_csr(cls, A, shape_xyz, dtype=None):
+    def from_csr(cls, A, shape_xyz, dtype=None, cells_per_site: int = 1):
         """Scalar (m=1) variant from a CSRMatrix."""
         sp = A.to_scipy().tocoo()
         return cls.from_blocks(sp.row, sp.col, sp.data.reshape(-1, 1, 1), shape_xyz,
-                               dtype=dtype or A.data.dtype)
+                               dtype=dtype or A.data.dtype,
+                               cells_per_site=cells_per_site)
 
     @classmethod
-    def from_bsr(cls, A, shape_xyz, dtype=None):
+    def from_bsr(cls, A, shape_xyz, dtype=None, cells_per_site: int = 1):
         """Block variant from a BSRMatrix (block COO layout)."""
         return cls.from_blocks(np.asarray(A.brow_ids), np.asarray(A.indices),
                                np.asarray(A.blocks), shape_xyz,
-                               dtype=dtype or A.blocks.dtype)
+                               dtype=dtype or A.blocks.dtype,
+                               cells_per_site=cells_per_site)
 
     @jax.jit
     def matvec(self, x: jax.Array) -> jax.Array:
