@@ -7,3 +7,8 @@ from circulantpreconditioner_tpu.parallel.spmv_dist import (  # noqa: F401
     HaloELLMatrix,
     ShardedELLMatrix,
 )
+from circulantpreconditioner_tpu.parallel.multihost import (  # noqa: F401
+    gather_to_host0,
+    global_device_mesh,
+    init_multihost,
+)
