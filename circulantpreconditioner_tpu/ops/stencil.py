@@ -228,15 +228,26 @@ class VaryingStencilOperator:
 
     shape_zyx: tuple[int, ...]
     m: int
-    offsets: tuple[tuple[int, ...], ...]  # static, zyx order
-    coefs: tuple  # per-offset (*(shape_zyx), m, m) device arrays
+    offsets: tuple  # static: zyx tuples (grid layouts) or flat ints ("flat")
+    coefs: tuple  # per-offset coefficient arrays (layout-dependent)
+    # Layouts, fastest first:
+    # - "flat": coefs (m, m, N) with the WHOLE grid as the minor axis (full
+    #   128-lane packing regardless of nx/ny — a (32,32)-trailing grid wastes
+    #   75% of every tile) and neighbor access as a single flat roll. Valid
+    #   when every wrap-crossing boundary layer has zero coefficients
+    #   (wall/Neumann assemblies) — detected at build time.
+    # - "grid_last": coefs (m, m, *shape_zyx), per-axis rolls — needed for
+    #   periodic wraps; contraction unrolled into VPU multiply-adds.
+    # - "block": coefs (*shape_zyx, m, m), batched einsum — large supercell
+    #   blocks where unrolling m² terms would blow up compilation.
+    layout: str = "flat"
 
     def tree_flatten(self):
-        return (self.coefs,), (self.shape_zyx, self.m, self.offsets)
+        return (self.coefs,), (self.shape_zyx, self.m, self.offsets, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], aux[1], aux[2], children[0])
+        return cls(aux[0], aux[1], aux[2], children[0], aux[3])
 
     @classmethod
     def from_blocks(cls, rows, cols, blocks, shape_xyz, dtype=jnp.float32,
@@ -276,8 +287,9 @@ class VaryingStencilOperator:
 
         shape_zyx = (nz, ny, nx)
         M = g * m
+        layout = "grid_last" if M <= 8 else "block"
         key = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
-        offsets, coefs = [], []
+        offsets, coefs_np = [], []
         for k in np.unique(key):
             sel = key == k
             # (site grid, sub_r, sub_c, m, m) — transposed/reshaped to (M, M)
@@ -286,8 +298,46 @@ class VaryingStencilOperator:
             C = C.transpose(0, 1, 2, 3, 5, 4, 6).reshape(shape_zyx + (M, M))
             off_zyx = (int(k) // 9 - 1, (int(k) // 3) % 3 - 1, int(k) % 3 - 1)
             offsets.append(off_zyx)
-            coefs.append(jnp.asarray(C, dtype=dtype))
-        return cls(shape_zyx, M, tuple(offsets), tuple(coefs))
+            coefs_np.append(C)
+
+        if layout == "grid_last" and cls._flat_safe(offsets, coefs_np, shape_zyx):
+            # wrap-crossing layers all zero → flat rolls are exact
+            strides = (ny * nx, nx, 1)
+            flat_offsets = tuple(
+                int(sum(o * s for o, s in zip(off, strides))) for off in offsets
+            )
+            coefs = tuple(
+                jnp.asarray(
+                    np.ascontiguousarray(
+                        C.reshape(-1, M, M).transpose(1, 2, 0)), dtype=dtype)
+                for C in coefs_np
+            )
+            return cls(shape_zyx, M, flat_offsets, coefs, "flat")
+        if layout == "grid_last":
+            coefs = tuple(
+                jnp.asarray(np.ascontiguousarray(C.transpose(3, 4, 0, 1, 2)),
+                            dtype=dtype)
+                for C in coefs_np
+            )
+        else:
+            coefs = tuple(jnp.asarray(C, dtype=dtype) for C in coefs_np)
+        return cls(shape_zyx, M, tuple(offsets), coefs, layout)
+
+    @staticmethod
+    def _flat_safe(offsets, coefs_np, shape_zyx) -> bool:
+        """True when, for every offset, the cells whose neighbor would wrap
+        around an axis carry an all-zero coefficient block (wall/Neumann
+        assemblies): a flat roll then differs from the per-axis rolls only
+        where it is multiplied by zero."""
+        for off, C in zip(offsets, coefs_np):
+            for ax, o in enumerate(off):
+                if o == 0:
+                    continue
+                idx = [slice(None)] * 3
+                idx[ax] = shape_zyx[ax] - 1 if o > 0 else 0
+                if np.any(C[tuple(idx)]):
+                    return False
+        return True
 
     @classmethod
     def from_csr(cls, A, shape_xyz, dtype=None, cells_per_site: int = 1):
@@ -307,7 +357,34 @@ class VaryingStencilOperator:
 
     @jax.jit
     def matvec(self, x: jax.Array) -> jax.Array:
-        g = x.reshape(self.shape_zyx + (self.m,))
+        m = self.m
+        if self.layout == "flat":
+            N = int(np.prod(self.shape_zyx))
+            gt = x.reshape(N, m).T  # (m, N): whole grid on the lane axis
+            ys = [jnp.zeros((N,), x.dtype) for _ in range(m)]
+            for off, C in zip(self.offsets, self.coefs):
+                nbr = jnp.roll(gt, -off, axis=1) if off else gt
+                for i in range(m):
+                    acc = ys[i]
+                    for j in range(m):
+                        acc = acc + C[i, j] * nbr[j]
+                    ys[i] = acc
+            return jnp.stack(ys, axis=1).reshape(-1)
+        if self.layout == "grid_last":
+            gt = jnp.moveaxis(x.reshape(self.shape_zyx + (m,)), -1, 0)  # (m, grid)
+            ys = [jnp.zeros(self.shape_zyx, x.dtype) for _ in range(m)]
+            for off, C in zip(self.offsets, self.coefs):
+                nbr = gt
+                for ax, o in enumerate(off):
+                    if o:
+                        nbr = jnp.roll(nbr, -o, axis=ax + 1)
+                for i in range(m):
+                    acc = ys[i]
+                    for j in range(m):
+                        acc = acc + C[i, j] * nbr[j]
+                    ys[i] = acc
+            return jnp.moveaxis(jnp.stack(ys), 0, -1).reshape(-1)
+        g = x.reshape(self.shape_zyx + (m,))
         out = jnp.zeros_like(g)
         for off, C in zip(self.offsets, self.coefs):
             nbr = g

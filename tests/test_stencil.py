@@ -122,8 +122,10 @@ def test_wave_auto_dispatches_varying_on_kershaw():
     D = w.divergence_op()  # auto
     assert D.func is VaryingStencilOperator.matvec
     U = w.initial_state()
+    # atol scaled to the 1.55e7-magnitude pressures: different (equivalent)
+    # summation orders differ at f64 roundoff of the inputs
     np.testing.assert_allclose(np.asarray(D(U)), np.asarray(w.divergence.matvec(U)),
-                               atol=1e-9)
+                               atol=1e-5)
 
 
 def test_supercell_stencil_tet_mesh_matches_assembled():
