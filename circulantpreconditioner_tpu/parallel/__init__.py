@@ -12,3 +12,4 @@ from circulantpreconditioner_tpu.parallel.multihost import (  # noqa: F401
     global_device_mesh,
     init_multihost,
 )
+from circulantpreconditioner_tpu.parallel.stencil_dist import SlabStencilOperator  # noqa: F401
