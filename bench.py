@@ -25,7 +25,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
-import statistics
 import sys
 import time
 
@@ -87,19 +86,17 @@ def main() -> None:
     np.asarray(u0)  # warm the D2H path (first transfer can take minutes)
     np.asarray(run_loop(u0, 4))
 
-    def chain(K: int) -> float:
+    # one long device loop per rep: dispatch+fetch overhead amortizes to
+    # <1% and the min over reps rejects tunnel hiccups (differenced short
+    # chains proved noisy in both directions on this backend)
+    K = 3000
+    totals = []
+    for _ in range(3):
         t0 = time.perf_counter()
         np.asarray(run_loop(u0, K))  # fetch forces completion
-        return time.perf_counter() - t0
-
-    K1, K2 = 100, 600
-    per_steps = []
-    for _ in range(5):
-        t1 = chain(K1)
-        t2 = chain(K2)
-        per_steps.append((t2 - t1) / (K2 - K1))
-    per_step = statistics.median(per_steps)
-    per_step = max(per_step, 1e-6)
+        totals.append(time.perf_counter() - t0)
+    per_step = max(min(totals) / K, 1e-6)
+    per_steps = [t / K for t in totals]
     solves_per_s = 1.0 / per_step
     print(f"bench: per-solve {per_step*1e3:.3f} ms (reps: "
           f"{[f'{p*1e3:.3f}' for p in per_steps]})", file=sys.stderr, flush=True)
