@@ -69,9 +69,10 @@ def main() -> None:
     dt = (1e3 / 3) * (h / 6)
     lambdas_zyx = (0.0, 0.0, 1.0 * dt / h)
     op = CirculantTransportOperator.create((n, n, n), lambdas_zyx, jnp.float32)
-    # DFT-by-matmul on the MXU, full-f32 — robust under chained stepping and
-    # immune to the XLA-FFT-under-scan pathology on this backend
-    solver = MatmulCirculantSolver.from_operator(op, precision="highest")
+    # DFT-by-matmul on the MXU at bf16x3 (1.6x the bf16x6 rate; rel.
+    # residual ~4e-5, gated below at 1e-4) — robust under chained stepping
+    # and immune to the XLA-FFT-under-scan pathology on this backend
+    solver = MatmulCirculantSolver.from_operator(op, precision="high")
 
     rng = np.random.default_rng(1)
     u0 = jnp.asarray(rng.random((n, n, n)).astype(np.float32) * 50 + 600)

@@ -35,6 +35,12 @@ from circulantpreconditioner_tpu.ops.circulant import (
     np_eigenvalue_diagonal,
 )
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 
 def _dft_mats(n: int, dtype):
     k = np.arange(n)
@@ -90,10 +96,12 @@ class MatmulCirculantSolver:
 
     shape_zyx: tuple[int, ...]
     arrays: tuple  # (lam parts + DFT matrices), all real device arrays
-    # "highest" (full f32, 6-pass bf16 decomposition — direct-solver grade) or
-    # "default" (fast bf16-class MXU passes — preconditioner grade: a sloppy
-    # M⁻¹ still preconditions, and GMRES convergence is tested on the true
-    # residual)
+    # "highest" (bf16x6 — direct-solver grade, rel. residual ~7e-6 at 100³),
+    # "high" (bf16x3 — 1.6× faster, ~4e-5: still direct-solve usable against
+    # the reference's 1e-5 tolerances and ideal for PC applies), or
+    # "default" (single-pass bf16, ~5e-3 — rough-preconditioner grade: a
+    # sloppy M⁻¹ still preconditions; GMRES convergence is tested on the
+    # true residual)
     precision: str = "highest"
 
     def tree_flatten(self):
@@ -131,8 +139,7 @@ class MatmulCirculantSolver:
         was_flat = b.ndim == 1
         g = b.reshape(self.shape_zyx)
         inv_re, inv_im, F_re, F_im, B_re, B_im, mats = self.arrays
-        prec = (jax.lax.Precision.HIGHEST if self.precision == "highest"
-                else jax.lax.Precision.DEFAULT)
+        prec = _PRECISIONS[self.precision]
         ndim = len(self.shape_zyx)
         sub = "zyx"[3 - ndim:]
         # forward half-spectrum transform along x (real input)
@@ -218,8 +225,7 @@ class MatmulBlockCirculantSolver:
         was_flat = b.ndim == 1
         g = b.reshape(self.shape_zyx + (self.m,))
         inv_re, inv_im, F_re, F_im, B_re, B_im, mats = self.arrays
-        prec = (jax.lax.Precision.HIGHEST if self.precision == "highest"
-                else jax.lax.Precision.DEFAULT)
+        prec = _PRECISIONS[self.precision]
         ndim = len(self.shape_zyx)
         sub = "zyx"[3 - ndim:] + "m"
         # x-axis half-spectrum forward: 'zyxm,xk->zykm'
