@@ -144,16 +144,28 @@ def bench_wave_implicit(n_side=16):
     U = model.initial_state()
     out = retry_transient(lambda: step(U))
     np.asarray(out[0])
-    times, iters = [], []
-    for _ in range(5):
+    iters = int(np.asarray(out[2]))
+    converged = bool(np.asarray(out[4]))
+
+    # device-loop timing: a host-dispatched step pays the ~29 ms tunnel RTT,
+    # which would dominate the metric (production loops run on device)
+    import jax
+
+    @jax.jit
+    def run(u, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: step(v)[0], u)
+
+    retry_transient(lambda: run(U, 2))
+    np.asarray(run(U, 2))
+    totals = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = step(U)
-        np.asarray(out[0])
-        times.append(time.perf_counter() - t0)
-        iters.append(int(np.asarray(out[2])))
+        np.asarray(run(U, 30))
+        totals.append(time.perf_counter() - t0)
+    per_step = min(totals) / 30
     return {"metric": f"wave_implicit_step_ms_kershaw{n_side}",
-            "value": round(statistics.median(times) * 1e3, 2), "unit": "ms/step",
-            "gmres_iters": iters[0], "converged": bool(np.asarray(out[4]))}
+            "value": round(per_step * 1e3, 2), "unit": "ms/step",
+            "gmres_iters": iters, "converged": converged}
 
 
 def main():

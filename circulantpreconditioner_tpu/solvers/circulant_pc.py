@@ -121,7 +121,7 @@ class BlockCirculantProjectionPC:
     """
 
     def __init__(self, mesh: Mesh, dt: float, c0: float, dtype=jnp.float32,
-                 samples_per_axis: int = 3):
+                 samples_per_axis: int = 3, use_matmul_dft: bool = True):
         from circulantpreconditioner_tpu.ops.assembly import wave_block_stencil
         from circulantpreconditioner_tpu.ops.circulant import BlockCirculantOperator
 
@@ -129,9 +129,20 @@ class BlockCirculantProjectionPC:
         self.n_xyz = n_xyz
         self.nb = mesh.dim + 1
         offsets, blocks = wave_block_stencil(mesh.dim, dt, c0, spacing)
-        self.op = BlockCirculantOperator.from_stencil(
-            tuple(reversed(n_xyz)), offsets, blocks, dtype
-        )
+        if use_matmul_dft:
+            # MXU DFT path at PC-grade bf16x3 — the jnp.fft lowering degrades
+            # badly inside device loops on the axon backend
+            from circulantpreconditioner_tpu.ops.dft_matmul import (
+                MatmulBlockCirculantSolver,
+            )
+
+            self.op = MatmulBlockCirculantSolver.from_stencil(
+                tuple(reversed(n_xyz)), offsets, blocks, dtype, precision="high"
+            )
+        else:
+            self.op = BlockCirculantOperator.from_stencil(
+                tuple(reversed(n_xyz)), offsets, blocks, dtype
+            )
         self.P, self.P_back = build_projection_matrices(
             mesh, n_xyz, bbox, samples_per_axis, dtype
         )
@@ -186,7 +197,7 @@ class DiffusionProjectionPC:
     (I + dt·ν·L_h)⁻¹ in frequency space, project back."""
 
     def __init__(self, mesh: Mesh, dt: float, nu: float, dtype=jnp.float32,
-                 samples_per_axis: int = 3):
+                 samples_per_axis: int = 3, use_matmul_dft: bool = True):
         from circulantpreconditioner_tpu.ops.assembly import diffusion_stencil
         from circulantpreconditioner_tpu.ops.circulant import BlockCirculantOperator
 
@@ -195,9 +206,18 @@ class DiffusionProjectionPC:
         offsets, blocks = diffusion_stencil(mesh.dim, dt, nu, spacing)
         blocks = blocks.copy()
         blocks[0] += 1.0  # symbol of I + D
-        self.op = BlockCirculantOperator.from_stencil(
-            tuple(reversed(n_xyz)), offsets, blocks, dtype
-        )
+        if use_matmul_dft:
+            from circulantpreconditioner_tpu.ops.dft_matmul import (
+                MatmulBlockCirculantSolver,
+            )
+
+            self.op = MatmulBlockCirculantSolver.from_stencil(
+                tuple(reversed(n_xyz)), offsets, blocks, dtype, precision="high"
+            )
+        else:
+            self.op = BlockCirculantOperator.from_stencil(
+                tuple(reversed(n_xyz)), offsets, blocks, dtype
+            )
         self.P, self.P_back = build_projection_matrices(
             mesh, n_xyz, bbox, samples_per_axis, dtype
         )

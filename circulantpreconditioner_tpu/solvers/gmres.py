@@ -129,12 +129,15 @@ def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right) -> Krylov
             V = jnp.zeros((m + 1, n), dtype)
             V = V.at[0].set(r / jnp.maximum(beta, eps))
             H = jnp.zeros((m + 1, m), dtype)
-            cs = jnp.zeros((m,), dtype)
-            sn = jnp.zeros((m,), dtype)
-            g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+            # Q = composed Givens rotations as an explicit (m+1, m+1) matrix:
+            # applying all previous rotations to the new Hessenberg column is
+            # ONE tiny matvec instead of a sequential fori_loop — each runtime
+            # loop iteration costs ~6 µs on this backend, so the classic
+            # rotation-replay loop dominated the whole solver (~150 µs/it).
+            Q = jnp.eye(m + 1, dtype=dtype)
 
             def inner_cond(st):
-                V, H, cs, sn, g, j, res = st
+                V, H, Q, j, res = st
                 return jnp.logical_and(
                     j < m,
                     jnp.logical_and(
@@ -144,13 +147,12 @@ def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right) -> Krylov
                 )
 
             def inner_body(st):
-                V, H, cs, sn, g, j, _res = st
+                V, H, Q, j, _res = st
                 w = precond_op(V[j])
-                # Modified Gram-Schmidt: rows of V beyond j are zero, so the
-                # full-matrix projection only removes the active basis.
+                # Classical Gram-Schmidt ×2: rows of V beyond j are zero, so
+                # the full-matrix projection only removes the active basis.
                 h = V @ w  # (m+1,)
                 w = w - V.T @ h
-                # one reorthogonalization pass (cheap; keeps f32 robust)
                 h2 = V @ w
                 w = w - V.T @ h2
                 h = h + h2
@@ -158,28 +160,23 @@ def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right) -> Krylov
                 h = h.at[j + 1].set(wnorm)
                 V = V.at[j + 1].set(w / jnp.maximum(wnorm, eps))
 
-                # apply existing Givens rotations to the new column
-                def apply_rot(i, hcol):
-                    t = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
-                    h2_ = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
-                    return hcol.at[i].set(t).at[i + 1].set(h2_)
-
-                hcol = lax.fori_loop(0, j, apply_rot, h)
+                hcol = Q @ h  # all previous rotations at once
                 # new rotation zeroing hcol[j+1]
                 denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
                 c = jnp.where(denom > eps, hcol[j] / jnp.maximum(denom, eps), 1.0)
                 s = jnp.where(denom > eps, hcol[j + 1] / jnp.maximum(denom, eps), 0.0)
-                cs_ = cs.at[j].set(c)
-                sn_ = sn.at[j].set(s)
+                qj = Q[j]
+                qj1 = Q[j + 1]
+                Q = Q.at[j].set(c * qj + s * qj1).at[j + 1].set(-s * qj + c * qj1)
                 hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
                 H = H.at[:, j].set(hcol)
-                g_ = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
-                res = jnp.abs(g_[j + 1])
-                return (V, H, cs_, sn_, g_, j + 1, res)
+                res = beta * jnp.abs(Q[j + 1, 0])  # |g[j+1]|, g = β·Q[:,0]
+                return (V, H, Q, j + 1, res)
 
-            V, H, cs, sn, g, j, res = lax.while_loop(
-                inner_cond, inner_body, (V, H, cs, sn, g, jnp.array(0, jnp.int32), beta)
+            V, H, Q, j, res = lax.while_loop(
+                inner_cond, inner_body, (V, H, Q, jnp.array(0, jnp.int32), beta)
             )
+            g = beta * Q[:, 0]
 
             # Solve R y = g on the active j×j block. Inactive columns have
             # H[i,i]=0; replace with 1 and zero g beyond j so y there is 0.
