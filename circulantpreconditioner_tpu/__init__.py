@@ -21,6 +21,17 @@ Everything on the compute path is jittable; spectra/plans are cached on device.
 
 __version__ = "0.1.0"
 
+# NumPy's MADV_HUGEPAGE makes first-touch page faults pathologically slow on
+# this kernel (6.18.x: ~8 MB/s vs ~2 GB/s without — 250×), which dominated
+# every host-side path (mesh loads, assembly, D2H buffers). Runtime switch;
+# NUMPY_MADVISE_HUGEPAGE=0 in the environment achieves the same before import.
+try:  # pragma: no cover - numpy-version dependent private API
+    import numpy as _np
+
+    _np._core.multiarray._set_madvise_hugepage(False)
+except Exception:
+    pass
+
 from circulantpreconditioner_tpu.ops.circulant import (  # noqa: F401
     CirculantTransportOperator,
     transport_column,

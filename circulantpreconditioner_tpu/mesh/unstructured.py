@@ -107,35 +107,51 @@ def _fast_build_homogeneous(points, cells_arr, default_group, name):
         fv, fc = out
 
     nF = len(fv)
-    # geometry, vectorized: pad tri faces by repeating vertex 0
+    # geometry, vectorized: pad tri faces by repeating vertex 0.
+    # Everything runs on per-COMPONENT contiguous (nF, 4)/(nF,) arrays:
+    # stride-3 access over large buffers (np.cross, (..,3) slices) runs ~50×
+    # slower than contiguous on this host, turning 64³ builds into minutes.
     fvp = fv.copy()
     pad = fvp[:, 3] < 0
     fvp[pad, 3] = fvp[pad, 0]
-    P = points[fvp]  # (nF, 4, 3)
-    c = P.mean(axis=1)  # fan point (area vector independent of it)
-    a = P
-    b = P[:, [1, 2, 3, 0], :]
-    tri_n = 0.5 * np.cross(a - c[:, None, :], b - c[:, None, :])  # (nF,4,3)
-    total = tri_n.sum(axis=1)
-    area = np.linalg.norm(total, axis=1)
+    comp = [np.ascontiguousarray(points[:, d]) for d in range(3)]
+    Pc = [cd[fvp] for cd in comp]  # 3 × (nF, 4)
+    cc = [p.mean(axis=1) for p in Pc]  # fan point (area indep. of it)
+    bc = [p[:, [1, 2, 3, 0]] for p in Pc]
+    d1 = [p - m[:, None] for p, m in zip(Pc, cc)]
+    d2 = [p - m[:, None] for p, m in zip(bc, cc)]
+    tri_n = [
+        0.5 * (d1[1] * d2[2] - d1[2] * d2[1]),
+        0.5 * (d1[2] * d2[0] - d1[0] * d2[2]),
+        0.5 * (d1[0] * d2[1] - d1[1] * d2[0]),
+    ]  # 3 × (nF, 4)
+    total = [t.sum(axis=1) for t in tri_n]
+    area = np.sqrt(total[0] ** 2 + total[1] ** 2 + total[2] ** 2)
     if (area < 1e-300).any():
         raise ValueError("degenerate face")
-    normal = total / area[:, None]
-    tri_area = np.linalg.norm(tri_n, axis=2)
-    tri_ctr = (a + b + c[:, None, :]) / 3.0
-    center = (tri_area[:, :, None] * tri_ctr).sum(axis=1) / np.maximum(
-        tri_area.sum(axis=1), 1e-300
-    )[:, None]
+    normal_c = [t / area for t in total]
+    tri_area = np.sqrt(tri_n[0] ** 2 + tri_n[1] ** 2 + tri_n[2] ** 2)  # (nF,4)
+    tri_w = np.maximum(tri_area.sum(axis=1), 1e-300)
+    center_c = [
+        ((p + b_ + m[:, None]) / 3.0 * tri_area).sum(axis=1) / tri_w
+        for p, b_, m in zip(Pc, bc, cc)
+    ]
 
-    cell_centroid = points[cells_arr].mean(axis=1)
-    flip = np.einsum("fd,fd->f", normal, center - cell_centroid[fc[:, 0]]) < 0
-    normal[flip] = -normal[flip]
+    centroid_c = [cd[cells_arr].mean(axis=1) for cd in comp]  # 3 × (nC,)
+    fc0 = fc[:, 0]
+    dot = sum(n_ * (ce - cen[fc0]) for n_, ce, cen in zip(normal_c, center_c, centroid_c))
+    sign = np.where(dot < 0, -1.0, 1.0)
+    normal_c = [n_ * sign for n_ in normal_c]
 
     cell_volume = np.zeros(n_cells)
-    contrib = area * np.einsum("fd,fd->f", center, normal) / 3.0
-    np.add.at(cell_volume, fc[:, 0], contrib)
+    contrib = area * sum(c_ * n_ for c_, n_ in zip(center_c, normal_c)) / 3.0
+    np.add.at(cell_volume, fc0, contrib)
     m2 = fc[:, 1] >= 0
     np.add.at(cell_volume, fc[m2, 1], -contrib[m2])
+
+    normal = np.stack(normal_c, axis=1)
+    center = np.stack(center_c, axis=1)
+    cell_centroid = np.stack(centroid_c, axis=1)
 
     groups = {default_group: 1}
     face_group = np.where(fc[:, 1] < 0, 1, INTERIOR).astype(np.int32)
