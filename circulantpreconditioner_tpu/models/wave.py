@@ -137,12 +137,24 @@ class WaveSystem:
                 operator = "matrix"
         if operator == "stencil":
             return self.stencil_operator.matvec_partial()
-        if operator == "varying":
-            from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+        if operator in ("varying", "normal"):
+            from circulantpreconditioner_tpu.ops.stencil import (
+                VaryingStencilOperator,
+                WaveNormalStencilOperator,
+            )
 
-            return VaryingStencilOperator.from_bsr(
+            V = VaryingStencilOperator.from_bsr(
                 self.divergence, self.mesh.topology_shape,
-                cells_per_site=getattr(self.mesh, "cells_per_site", 1)).matvec_partial()  # type: ignore[attr-defined]
+                cells_per_site=getattr(self.mesh, "cells_per_site", 1))  # type: ignore[attr-defined]
+            if getattr(self.mesh, "cells_per_site", 1) == 1:
+                # physics-structured normal form: 2.8× less coefficient
+                # traffic; exact decomposition or None
+                Wn = WaveNormalStencilOperator.from_varying(V, self.c0)
+                if Wn is not None:
+                    return Wn.matvec_partial()
+            if operator == "normal":
+                raise ValueError("wave normal-form decomposition failed for this mesh")
+            return V.matvec_partial()
         return self.divergence.matvec_partial()
 
     @cached_property
