@@ -89,6 +89,12 @@ def _mesh_blocks(mesh: Mesh):
 
 _GEO_CODE = {"SE2": 102, "TR3": 203, "QU4": 204, "TE4": 304, "PY5": 305, "PE6": 306, "HE8": 308}
 
+# Canonical block ordering = ascending vertex count, the same key _mesh_blocks
+# sorts by (sorted(by_k.items())). read_med_field must walk blocks in this
+# order, NOT alphabetically, or mixed-type meshes get misassociated values.
+_GEO_ORDER = {g: i for i, g in enumerate(
+    ["SE2", "TR3", "QU4", "TE4", "PY5", "PE6", "HE8"])}
+
 
 def _write_mesh(f, mesh: Mesh, pts, blocks):
     import h5py
@@ -201,7 +207,7 @@ def read_med_field(path: str, name: str):
             t = float(ts.attrs["PDT"])
             parts = []
             mg = ts[list(ts)[0]]  # MAI.<mesh>
-            for geo in sorted(mg):
+            for geo in sorted(mg, key=lambda g: _GEO_ORDER.get(g, len(_GEO_ORDER))):
                 co = np.asarray(mg[geo]["CO"], dtype=np.float64)
                 parts.append(co.reshape(nco, -1).T)
             out.append((it, t, np.concatenate(parts, axis=0)))

@@ -114,6 +114,10 @@ class Mesh:
         scale = float((bb[:, 1] - bb[:, 0]).max())
         if self.periodic_twin is None:
             self.periodic_twin = np.full(self.n_faces, -1, dtype=np.int64)
+        # twin FACE index too: assemblies that need a symmetric pair metric
+        # (diffusion TPFA) use both face centers, not one doubled distance
+        if getattr(self, "periodic_twin_face", None) is None:
+            self.periodic_twin_face = np.full(self.n_faces, -1, dtype=np.int64)  # type: ignore[attr-defined]
         code = self.groups.get("Periodic")
         if code is None:
             code = max(self.groups.values(), default=0) + 1
@@ -141,6 +145,8 @@ class Mesh:
                     raise ValueError(f"axis {d}: no periodic twin for face {f}")
                 self.periodic_twin[f] = self.face_cells[tw, 0]
                 self.periodic_twin[tw] = self.face_cells[f, 0]
+                self.periodic_twin_face[f] = tw  # type: ignore[attr-defined]
+                self.periodic_twin_face[tw] = f  # type: ignore[attr-defined]
                 self.face_group[f] = code
                 self.face_group[tw] = code
 

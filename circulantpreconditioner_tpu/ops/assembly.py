@@ -127,7 +127,12 @@ def diffusion_csr(
     ToDo.md:5-6) — same FV/FFT structure with the diffusive symbol.
 
     TPFA flux per face: ν·|F|·(u_other − u_cell)/d with d = ‖c_other −
-    c_cell‖ (periodic faces: d = 2·‖x_face − c_cell‖ across the wrap).
+    c_cell‖. Periodic faces use one SHARED pair distance d = ‖x_f − c_cell‖ +
+    ‖x_f' − c_twin‖ (the two face-to-center legs across the wrap), so the
+    unscaled flux coefficient ν|F|/d is identical on both sides of the pair —
+    on warped meshes the one-sided doubled distance would differ per side and
+    silently break the SPD form behind the CG stepper. Falls back to
+    2·‖x_face − c_cell‖ when the mesh has no twin-face map.
     Boundary default: insulated (Neumann no-flux), Periodic honored like the
     transport assembly. L is symmetric positive semi-definite; constants are
     in its kernel (conservation) — asserted in tests/test_diffusion.py.
@@ -160,7 +165,19 @@ def diffusion_csr(
         per_code = mesh.groups.get("Periodic")
         if per_code is not None:
             m_per = is_boundary & (group == per_code) & (twin_cell >= 0)
-            d = 2.0 * np.linalg.norm(fctr[m_per] - cc[cell[m_per]], axis=1)
+            twin_face = getattr(mesh, "periodic_twin_face", None)
+            face_idx = np.concatenate(
+                [np.arange(mesh.n_faces), np.arange(mesh.n_faces)[interior]]
+            )
+            tf = (np.full(mesh.n_faces, -1, dtype=np.int64) if twin_face is None
+                  else np.asarray(twin_face))[face_idx[m_per]]
+            d_self = np.linalg.norm(fctr[m_per] - cc[cell[m_per]], axis=1)
+            d_twin = np.where(
+                tf >= 0,
+                np.linalg.norm(fc[np.maximum(tf, 0)] - cc[twin_cell[m_per]], axis=1),
+                d_self,  # no twin-face map: doubled one-sided distance
+            )
+            d = d_self + d_twin
             coef = dt * nu * area[m_per] / (d * mesh.cell_volume[cell[m_per]])
             rows += [cell[m_per], cell[m_per]]
             cols += [cell[m_per], twin_cell[m_per]]

@@ -23,6 +23,20 @@ def test_operator_spd_and_conservative():
     np.testing.assert_allclose(A @ np.ones(m.n_cells), 0.0, atol=1e-12)
 
 
+def test_operator_symmetric_on_warped_periodic_mesh():
+    """On a warped (Kershaw) periodic mesh the two sides of a periodic face
+    pair have different face-to-center distances; the assembly must use one
+    shared pair distance so the unscaled flux form V·L stays symmetric
+    (V = diag cell volumes) — the SPD assumption behind the CG stepper."""
+    m = kershaw_mesh(((0.0, 1.0),) * 3, (4, 3, 3))
+    m.set_periodic()
+    d = DiffusionEquation(m, nu=0.3, cfl=5.0, dtype=jnp.float64)
+    A = np.asarray(d.divergence.to_dense())
+    VA = m.cell_volume[:, None] * A
+    np.testing.assert_allclose(VA, VA.T, atol=1e-12 * np.abs(VA).max())
+    np.testing.assert_allclose(A @ np.ones(m.n_cells), 0.0, atol=1e-10)
+
+
 def test_exact_discrete_mode_decay_implicit():
     """Implicit Euler damps a periodic Fourier mode by exactly
     (1 + dt·λ_h(k))⁻¹ per step — machine-precision oracle (ToDo.md:8),

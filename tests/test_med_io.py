@@ -46,6 +46,40 @@ def test_unstructured_tet_roundtrip(tmp_path):
     np.testing.assert_allclose(order, np.arange(m.n_cells))  # homogeneous = identity
 
 
+def test_mixed_cell_type_field_roundtrip(tmp_path):
+    """Mixed TE4/PY5/HE8 mesh: read_med_field must concatenate the geometry
+    blocks in the same vertex-count order med_cell_order documents, not
+    alphabetically (HE8 < PE6 < PY5 < TE4 lexically would scramble values)."""
+
+    class MixedMesh:
+        name = "mixed"
+        dim = 3
+        is_structured = False
+        points = np.array(
+            [[float(i & 1), float((i >> 1) & 1), float(i >> 2)] for i in range(8)]
+            + [[0.5, 0.5, 2.0]]
+        )
+        # interleave types so block reordering is non-trivial:
+        # cell 0 = HE8, 1 = TE4, 2 = PY5, 3 = TE4
+        cell_vertices = [
+            [0, 1, 3, 2, 4, 5, 7, 6],
+            [0, 1, 2, 4],
+            [4, 5, 7, 6, 8],
+            [1, 3, 2, 7],
+        ]
+        n_cells = 4
+
+    m = MixedMesh()
+    vals = np.random.default_rng(1).random((m.n_cells, 2))
+    p = str(tmp_path / "mixed.med")
+    write_med(p, m, {"U": vals}, time=0.0, it=0)
+    (it, t, back), = read_med_field(p, "U")
+    order = med_cell_order(m)
+    # med order: TE4 block (cells 1,3), PY5 block (cell 2), HE8 block (cell 0)
+    np.testing.assert_array_equal(order, [1, 3, 2, 0])
+    np.testing.assert_allclose(back, vals[order])
+
+
 def test_2d_structured_write(tmp_path):
     """2D QU4 write path (the reference's 50x50 default square)."""
     m = cartesian_mesh(((-0.5, 0.5),) * 2, (5, 4))

@@ -115,17 +115,52 @@ def test_wave_auto_dispatches_varying_on_kershaw():
 
     from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
     from circulantpreconditioner_tpu.models import WaveSystem
-    from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+    from circulantpreconditioner_tpu.ops.stencil import (
+        VaryingStencilOperator,
+        WaveNormalStencilOperator,
+    )
 
     m = kershaw_mesh(((0.0, 1.0),) * 3, (3, 3, 3))
     w = WaveSystem(m, cfl=10.0, dtype=jnp.float64)
     D = w.divergence_op()  # auto
-    assert D.func is VaryingStencilOperator.matvec
+    assert D.func in (WaveNormalStencilOperator.matvec,
+                      VaryingStencilOperator.matvec)
     U = w.initial_state()
     # atol scaled to the 1.55e7-magnitude pressures: different (equivalent)
     # summation orders differ at f64 roundoff of the inputs
     np.testing.assert_allclose(np.asarray(D(U)), np.asarray(w.divergence.matvec(U)),
                                atol=1e-5)
+
+
+def test_wave_normal_stencil_matches_assembled():
+    """WaveNormalStencilOperator (the default auto wave path on
+    topologically-structured meshes) == assembled BSR, wall and periodic."""
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.ops.stencil import (
+        VaryingStencilOperator,
+        WaveNormalStencilOperator,
+    )
+
+    rng = np.random.default_rng(3)
+    # NB periodic needs every axis >= 3: with n=2 the +1/-1 roll offsets
+    # alias and the merged block leaves the wave normal form (decomposition
+    # correctly refuses and the dispatcher falls back to the dense varying
+    # stencil).
+    for grid, periodic in (((4, 3, 2), False), ((4, 4, 3), True)):
+        m = kershaw_mesh(((0.0, 1.0),) * 3, grid)
+        if periodic:
+            m.set_periodic()
+        w = WaveSystem(m, cfl=10.0, dtype=jnp.float64)
+        Vfull = VaryingStencilOperator.from_bsr(w.divergence, m.topology_shape)
+        V = WaveNormalStencilOperator.from_varying(Vfull, c0=700.0)
+        assert V is not None, "wave-form decomposition must succeed"
+        x = rng.random(m.n_cells * 4)
+        np.testing.assert_allclose(
+            np.asarray(V.matvec(jnp.asarray(x))),
+            np.asarray(w.divergence.matvec(jnp.asarray(x))), atol=1e-12)
 
 
 def test_supercell_stencil_tet_mesh_matches_assembled():
