@@ -29,13 +29,16 @@ def main(argv=None):
     p.add_argument("--maxits", type=int, default=1000)
     p.add_argument("--shard", choices=["none", "rows"], default="none",
                    help="row-sharded SpMV + psum GMRES over the device mesh "
-                        "(the impl_mpi analog)")
+                        "(the impl_mpi analog; pc none|pbjacobi|circulant2l)")
     args = p.parse_args(argv)
     dtype = setup_dtype(args)
     mesh = build_mesh(args)
     model = WaveSystem(mesh, cfl=args.cfl or 1e3 / mesh.dim, dtype=dtype)
     print(f"-- implicit wave: mesh {mesh.name} ({mesh.n_cells} cells), "
           f"dt={model.dt:.4g}, pc={args.pc}")
+
+    if args.shard == "rows":
+        return _main_sharded(args, mesh, model, dtype)
 
     M = None
     side = "left"
@@ -76,29 +79,6 @@ def main(argv=None):
 
     U0 = model.initial_state()
     unshard = None
-    if args.shard == "rows" and args.pc not in ("blockfft",):
-        import jax.numpy as jnp
-
-        from circulantpreconditioner_tpu.models.transport import _dnorm_impl
-        from circulantpreconditioner_tpu.parallel import device_mesh
-        from circulantpreconditioner_tpu.parallel.spmv_dist import ShardedELLMatrix
-        from circulantpreconditioner_tpu.solvers import make_gmres
-
-        if M is not None:
-            raise SystemExit("--shard rows currently supports --pc none")
-        dm = device_mesh(args.devices)
-        As = ShardedELLMatrix(model.divergence.to_csr(dtype), dm)
-        print(f"-- row-sharded over {dm.shape} devices "
-              f"(n={As.n}, padded {As.n_padded})")
-        solver = make_gmres(lambda v: v + As.matvec(v), rtol=args.rtol,
-                            atol=args.atol, maxiter=args.maxits)
-
-        def step(u):
-            res = solver(u, u)
-            return res.x, _dnorm_impl(res.x, u), res.iters, res.resnorm, res.converged
-
-        U0 = As.shard_vector(np.asarray(U0))
-        unshard = As.unshard_vector
 
     cb = make_output_cb(args, mesh, split=model.split_fields, prefix="wave")
     on_out = cb if unshard is None else (
@@ -116,6 +96,79 @@ def main(argv=None):
     print(f"pressure range [{pfin.min():.6g}, {pfin.max():.6g}]")
     if its:
         print(f"GMRES iterations per step: median {np.median(its):.0f}, max {np.max(its):.0f}")
+    return res
+
+
+def _main_sharded(args, mesh, model, dtype):
+    """Row-sharded implicit wave solve over the device mesh — the
+    WaveSystem_..._impl_mpi.cxx analog (GMRES+BJACOBI distributed, :32-34,
+    :139-189), extended with the distributed circulant projection PC the
+    reference was building toward (ToDo.md:1)."""
+    import numpy as np
+
+    from circulantpreconditioner_tpu.models.transport import _dnorm_impl
+    from circulantpreconditioner_tpu.parallel import (
+        DistributedBlockCirculantPC,
+        HaloELLMatrix,
+        ShardedELLMatrix,
+        device_mesh,
+        sharded_pbjacobi,
+    )
+    from circulantpreconditioner_tpu.solvers import make_gmres, preconditioners as pcs
+
+    if args.pc not in ("none", "pbjacobi", "circulant2l"):
+        raise SystemExit("--shard rows supports --pc none|pbjacobi|circulant2l")
+    dm = device_mesh(args.devices)
+    D = model.divergence
+    b = D.block_size
+    A = D.to_csr(dtype)
+    try:
+        As = HaloELLMatrix(A, dm, row_multiple=b)
+        kind = f"halo ppermute (w={As.halo})"
+    except ValueError:
+        As = ShardedELLMatrix(A, dm, row_multiple=b)
+        kind = "all-gather"
+    print(f"-- row-sharded over {dm.shape} devices: {kind} SpMV "
+          f"(n={As.n}, padded {As.n_padded})")
+
+    M = None
+    side = "left"
+    if args.pc == "pbjacobi":
+        Dinv = np.linalg.inv(np.asarray(D.block_diagonal())
+                             + np.eye(b)[None, :, :])
+        M = sharded_pbjacobi(Dinv, As.n_padded, dm, dtype=dtype)
+    elif args.pc == "circulant2l":
+        coarse = DistributedBlockCirculantPC(mesh, model.dt, model.c0, dm,
+                                             As.n_padded, dtype=dtype)
+        Dinv = np.linalg.inv(np.asarray(D.block_diagonal())
+                             + np.eye(b)[None, :, :])
+        M = pcs.additive(coarse.apply,
+                         sharded_pbjacobi(Dinv, As.n_padded, dm, dtype=dtype))
+        side = "right"
+        print(f"-- distributed circulant PC grid {coarse.n_xyz}")
+
+    solver = make_gmres(lambda v: v + As.matvec(v), M, rtol=args.rtol,
+                        atol=args.atol, maxiter=args.maxits, side=side)
+
+    def step(u):
+        res = solver(u, u)
+        return res.x, _dnorm_impl(res.x, u), res.iters, res.resnorm, res.converged
+
+    U0 = As.shard_vector(np.asarray(model.initial_state()))
+    cb = make_output_cb(args, mesh, split=model.split_fields, prefix="wave")
+    res = run_time_loop(
+        step, U0, model.dt, tmax=args.tmax, ntmax=args.ntmax,
+        precision=args.precision, output_freq=args.output_freq,
+        on_output=lambda it, t, U, extras: cb(it, t, As.unshard_vector(U), extras),
+    )
+    res.state = As.unshard_vector(res.state)
+    pfin, vfin = model.split_fields(res.state)
+    its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
+    print(f"\nEnd at it={res.iterations} t={res.time:.6g} stationary={res.stationary}")
+    print(f"pressure range [{pfin.min():.6g}, {pfin.max():.6g}]")
+    if its:
+        print(f"GMRES iterations per step: median {np.median(its):.0f}, "
+              f"max {np.max(its):.0f}")
     return res
 
 

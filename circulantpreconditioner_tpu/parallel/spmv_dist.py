@@ -28,13 +28,17 @@ from circulantpreconditioner_tpu.ops.csr import CSRMatrix
 class ShardedELLMatrix:
     """Row-sharded padded-ELL operator: y = A x with x, y sharded vectors."""
 
-    def __init__(self, A: CSRMatrix, mesh: Mesh, axis: str = "shard"):
+    def __init__(self, A: CSRMatrix, mesh: Mesh, axis: str = "shard",
+                 row_multiple: int = 1):
         self.mesh = mesh
         self.axis = axis
         n, m = A.shape
         Pn = mesh.shape[axis]
         self.n = n
-        self.n_padded = ((n + Pn - 1) // Pn) * Pn
+        # pad so each shard's row count is a multiple of row_multiple (lets
+        # per-shard block preconditioners reshape (-1, b) without resharding)
+        q = Pn * max(int(row_multiple), 1)
+        self.n_padded = ((n + q - 1) // q) * q
         ell = A.to_ell()
         cols = np.asarray(ell.cols)
         vals = np.asarray(ell.vals)
@@ -93,28 +97,38 @@ class HaloELLMatrix:
     Column indices are pre-localised to the extended window on host.
     """
 
-    def __init__(self, A: CSRMatrix, mesh: Mesh, axis: str = "shard"):
+    def __init__(self, A: CSRMatrix, mesh: Mesh, axis: str = "shard",
+                 row_multiple: int = 1):
         self.mesh = mesh
         self.axis = axis
         n, _ = A.shape
         Pn = mesh.shape[axis]
         self.n = n
-        B = ((n + Pn - 1) // Pn)
+        rm = max(int(row_multiple), 1)
+        B = ((n + Pn * rm - 1) // (Pn * rm)) * rm
+        ell = A.to_ell()
+        cols0 = np.asarray(ell.cols)
+        vals0 = np.asarray(ell.vals)
+        active0 = vals0 != 0.0
+        band = np.abs(cols0 - np.arange(n)[:, None])[active0]
+        w = int(band.max()) if band.size else 0
+        if w > B:
+            # grow the row-block (extra zero padding) so one-neighbour halo
+            # exchange still works for slightly-super-block bandwidths
+            B_fit = ((w + rm - 1) // rm) * rm
+            if B_fit > 2 * B:
+                raise ValueError(
+                    f"bandwidth {w} exceeds 2x row-block {B}; use ShardedELLMatrix")
+            B = B_fit
         self.n_padded = B * Pn
         self.block = B
-        ell = A.to_ell()
-        cols = np.asarray(ell.cols)
-        vals = np.asarray(ell.vals)
+        cols = cols0
+        vals = vals0
         pad = self.n_padded - n
         if pad:
             cols = np.concatenate([cols, np.zeros((pad, cols.shape[1]), cols.dtype)])
             vals = np.concatenate([vals, np.zeros((pad, vals.shape[1]), vals.dtype)])
         rows_global = np.arange(self.n_padded)
-        active = vals != 0.0
-        band = np.abs(cols - rows_global[:, None])[active]
-        w = int(band.max()) if band.size else 0
-        if w > B:
-            raise ValueError(f"bandwidth {w} exceeds row-block {B}; use ShardedELLMatrix")
         self.halo = w
         # localise columns: device p sees window [p·B − w, (p+1)·B + w)
         shard_of_row = rows_global // B
