@@ -301,7 +301,9 @@ def test_sharded_gmres_pbjacobi_matches_single_device():
 
     mesh = device_mesh(8)
     m = cartesian_mesh(((-0.5, 0.5),) * 2, (8, 16))
-    model = WaveSystem(m, cfl=1e3 / 2, dtype=jnp.float64)
+    # cfl=100: restart-30 GMRES+pbjacobi converges at rtol 1e-8 in ~200 its
+    # (the reference's cfl=1e3/dim needs its looser 1e-5 tolerance)
+    model = WaveSystem(m, cfl=100.0, dtype=jnp.float64)
     D = model.divergence
     b = D.block_size
     A = D.to_csr(jnp.float64)
