@@ -40,6 +40,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--precision", type=float, default=1e-5,
                    help="stationarity threshold on ||dU||_2 (reference: 1e-5)")
     p.add_argument("--output-freq", type=int, default=1)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="steps per device dispatch (lax.scan chunk; default "
+                        "output-freq — keeps the hot loop device-resident "
+                        "between outputs instead of paying host RTT per step; "
+                        "1 = step-by-step host loop)")
     p.add_argument("--result-dir", default="./results")
     p.add_argument("--vtk", action="store_true", help="write VTK snapshots")
     p.add_argument("--med", action="store_true",
@@ -113,3 +118,9 @@ def make_output_cb(args, mesh, split=None, prefix="field"):
                             U, t, it)
 
     return cb
+
+
+def chunk_of(args) -> int:
+    """Steps per device dispatch: --chunk, default --output-freq."""
+    c = args.chunk if args.chunk is not None else args.output_freq
+    return max(int(c), 1)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from circulantpreconditioner_tpu.drivers.common import base_parser, build_mesh, make_output_cb, setup_dtype
+from circulantpreconditioner_tpu.drivers.common import base_parser, build_mesh, make_output_cb, setup_dtype, chunk_of
 from circulantpreconditioner_tpu.models import TransportEquation, run_time_loop
 
 
@@ -69,6 +69,7 @@ def main(argv=None):
     res = run_time_loop(
         step, u0, model.dt, tmax=args.tmax, ntmax=args.ntmax,
         precision=args.precision, output_freq=args.output_freq,
+        chunk=chunk_of(args),
         on_output=make_output_cb(args, mesh, prefix="temperature"),
     )
     u = np.asarray(res.state)

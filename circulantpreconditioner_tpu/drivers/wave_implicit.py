@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from circulantpreconditioner_tpu.drivers.common import base_parser, build_mesh, make_output_cb, setup_dtype
+from circulantpreconditioner_tpu.drivers.common import base_parser, build_mesh, make_output_cb, setup_dtype, chunk_of
 from circulantpreconditioner_tpu.models import WaveSystem, run_time_loop
 from circulantpreconditioner_tpu.solvers import preconditioners as pcs
 
@@ -86,6 +86,7 @@ def main(argv=None):
     res = run_time_loop(
         step, U0, model.dt, tmax=args.tmax, ntmax=args.ntmax,
         precision=args.precision, output_freq=args.output_freq,
+        chunk=chunk_of(args),
         on_output=on_out,
     )
     if unshard is not None:
@@ -159,6 +160,7 @@ def _main_sharded(args, mesh, model, dtype):
     res = run_time_loop(
         step, U0, model.dt, tmax=args.tmax, ntmax=args.ntmax,
         precision=args.precision, output_freq=args.output_freq,
+        chunk=chunk_of(args),
         on_output=lambda it, t, U, extras: cb(it, t, As.unshard_vector(U), extras),
     )
     res.state = As.unshard_vector(res.state)

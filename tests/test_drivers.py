@@ -102,3 +102,23 @@ def test_diffusion_driver_fft_periodic(tmp_path):
     res = diffusion_implicit.main(["8", "8", "8", "--method", "fft"] + _common(tmp_path, []))
     u = np.asarray(res.state)
     assert u.min() > 599.0 and u.max() < 651.0
+
+
+def test_chunked_time_loop_matches_stepwise(tmp_path):
+    """chunk>1 (device-resident lax.scan between outputs) gives the same
+    final state and iteration count as the step-by-step host loop."""
+    r1 = transport_fft.main(["10", "10", "--ntmax", "8", "--tmax", "1e9", "--chunk", "1"]
+                            + _common(tmp_path, []))
+    r4 = transport_fft.main(["10", "10", "--ntmax", "8", "--tmax", "1e9", "--chunk", "4"]
+                            + _common(tmp_path, []))
+    assert r1.iterations == r4.iterations
+    np.testing.assert_allclose(np.asarray(r4.state), np.asarray(r1.state),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_chunked_sharded_wave_driver(tmp_path):
+    """Chunked device loop composes with the sharded preconditioned solve."""
+    res = wave_implicit.main(["10", "10", "--shard", "rows", "--pc", "pbjacobi",
+                              "--ntmax", "4", "--chunk", "2"]
+                             + _common(tmp_path, []))
+    assert np.isfinite(np.asarray(res.state)).all()
