@@ -122,3 +122,24 @@ def test_chunked_sharded_wave_driver(tmp_path):
                               "--ntmax", "4", "--chunk", "2"]
                              + _common(tmp_path, []))
     assert np.isfinite(np.asarray(res.state)).all()
+
+
+def test_wave_explicit_driver_sharded_slab(tmp_path):
+    """expl_mpi analog: distributed explicit MatMult loop (slab stencil,
+    ppermute plane halos) must match the single-device run exactly.
+    Reference: WaveSystem_SphericalExplosion_expl_mpi.cxx:90-135."""
+    res_s = wave_explicit.main(
+        ["4", "4", "8", "--mesh-family", "kershaw", "--shard", "slab"]
+        + _common(tmp_path, []))
+    res_1 = wave_explicit.main(
+        ["4", "4", "8", "--mesh-family", "kershaw"] + _common(tmp_path, []))
+    # f32 accumulation-order roundoff between the stencil and slab paths
+    np.testing.assert_allclose(np.asarray(res_s.state), np.asarray(res_1.state),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_wave_explicit_driver_sharded_rows(tmp_path):
+    res_s = wave_explicit.main(["8", "8", "--shard", "rows"] + _common(tmp_path, []))
+    res_1 = wave_explicit.main(["8", "8"] + _common(tmp_path, []))
+    np.testing.assert_allclose(np.asarray(res_s.state), np.asarray(res_1.state),
+                               rtol=1e-3, atol=1e-2)
