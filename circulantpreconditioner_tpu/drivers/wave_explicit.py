@@ -68,7 +68,7 @@ def _make_sharded_operator(args, mesh, model, dtype):
         S = SlabStencilOperator(V, dm)
         print(f"-- z-slab sharded over {dm.shape} devices (plane halos, "
               f"layout {V.layout})")
-        return S, dm
+        return S
     D = model.divergence
     A = D.to_csr(dtype)
     try:
@@ -79,7 +79,7 @@ def _make_sharded_operator(args, mesh, model, dtype):
         kind = "all-gather"
     print(f"-- row-sharded over {dm.shape} devices: {kind} SpMV "
           f"(n={As.n}, padded {As.n_padded})")
-    return As, dm
+    return As
 
 
 def _main_sharded(args, mesh, model, dtype):
@@ -90,7 +90,7 @@ def _main_sharded(args, mesh, model, dtype):
     import jax
     import jax.numpy as jnp
 
-    Aop, dm = _make_sharded_operator(args, mesh, model, dtype)
+    Aop = _make_sharded_operator(args, mesh, model, dtype)
 
     @jax.jit
     def step(u):

@@ -36,14 +36,16 @@ def _mesh_blocks(mesh: Mesh):
     """Return (points (nV,esp), [(geotype, (nCb, k) conn, cell_ids)]) in the
     canonical write order. cell_ids maps block rows to mesh cell indices."""
     if getattr(mesh, "points", None) is not None and getattr(mesh, "cell_vertices", None) is not None:
-        pts = np.asarray(mesh.points)[:, : max(mesh.dim, 3)]
+        pts = np.asarray(mesh.points)[:, :2] if mesh.dim == 2 else np.asarray(mesh.points)[:, :3]
         cv = mesh.cell_vertices
         by_k: dict[int, list[int]] = {}
         for i, c in enumerate(cv):
             by_k.setdefault(len(c), []).append(i)
+        geo_of = ({3: "TR3", 4: "QU4"} if mesh.dim == 2
+                  else {4: "TE4", 5: "PY5", 6: "PE6", 8: "HE8"})
         blocks = []
         for k, ids in sorted(by_k.items()):
-            geo = {4: "TE4", 5: "PY5", 6: "PE6", 8: "HE8"}.get(k)
+            geo = geo_of.get(k)
             if geo is None:
                 raise NotImplementedError(f"cannot write {k}-vertex cells to MED")
             conn = np.array([cv[i] for i in ids], dtype=np.int64)

@@ -97,8 +97,10 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
 
         coo = np.asarray(it["NOE/COO"], dtype=np.float64)
         points = coo.reshape(esp, -1).T.copy()  # no-interlace
+        if esp == 2:
+            return _read_med_2d(f, it, points, mesh_name, name, path)
         if esp != 3:
-            raise NotImplementedError(f"{path}: only 3D MED meshes supported (ESP={esp})")
+            raise NotImplementedError(f"{path}: only 2D/3D MED meshes supported (ESP={esp})")
 
         mai = it["MAI"]
         cells: list[tuple[int, ...]] = []
@@ -192,6 +194,61 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
             row = fv[bf]
             key = tuple(sorted(int(v) for v in (row[row >= 0] if isinstance(row, np.ndarray) else row)))
             famid = bnd_fam.get(key)
+            if famid is None or famid == 0:
+                continue
+            names = fams.get(famid) or []
+            if not names:
+                continue
+            gname = names[0]
+            code = mesh.groups.get(gname)
+            if code is None:
+                code = max(mesh.groups.values(), default=0) + 1
+                mesh.groups[gname] = code
+            mesh.face_group[bf] = code
+    return mesh
+
+
+def _read_med_2d(f, it, points, mesh_name, name, path) -> Mesh:
+    """ESP=2 branch: TR3/QU4 elements are the CELLS, SE2 segments are the
+    boundary elements carrying family/group tags. Mirrors the reference
+    drivers' 2D `.med` acceptance (SOLVERLAB Mesh(file.med) is
+    dimension-generic; WaveSystem_SphericalExplosion_expl_seq.cxx:151-175)."""
+    from circulantpreconditioner_tpu.mesh.unstructured import build_mesh_from_cells_2d
+
+    mai = it["MAI"]
+    cells: list[tuple[int, ...]] = []
+
+    def conn(ds, k):
+        a = np.asarray(ds, dtype=np.int64)
+        return a.reshape(k, -1).T - 1
+
+    for typ, k in (("TR3", 3), ("QU4", 4)):
+        if typ in mai:
+            cells.extend(tuple(r) for r in conn(mai[typ]["NOD"], k))
+    if "POG" in mai:  # general polygon cells
+        pog = mai["POG"]
+        inn = np.asarray(pog["INN"], dtype=np.int64)
+        nod = np.asarray(pog["NOD"], dtype=np.int64) - 1
+        for i in range(len(inn) - 1):
+            cells.append(tuple(nod[inn[i] - 1: inn[i + 1] - 1]))
+    if not cells:
+        raise ValueError(f"{path}: no 2D cell elements (TR3/QU4/POG) found")
+
+    bnd_fam: dict[tuple[int, int], int] = {}
+    if "SE2" in mai:
+        cc = conn(mai["SE2"]["NOD"], 2)
+        fam = np.asarray(mai["SE2"]["FAM"], dtype=np.int64) if "FAM" in mai["SE2"] else None
+        for i, r in enumerate(cc):
+            key = (int(min(r)), int(max(r)))
+            bnd_fam[key] = int(fam[i]) if fam is not None else 0
+    fams = _read_families(f, mesh_name)
+
+    mesh = build_mesh_from_cells_2d(points, cells, name=name or f"{mesh_name}")
+    if bnd_fam:
+        fv = mesh.face_vertices  # type: ignore[attr-defined]
+        for bf in mesh.boundary_faces():
+            a, b = fv[bf]
+            famid = bnd_fam.get((min(a, b), max(a, b)))
             if famid is None or famid == 0:
                 continue
             names = fams.get(famid) or []

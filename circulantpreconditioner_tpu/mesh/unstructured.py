@@ -282,6 +282,93 @@ def build_mesh_from_cells(
     return mesh
 
 
+def build_mesh_from_cells_2d(
+    points: np.ndarray,  # (nV, 2) or (nV, 3) with z ignored
+    cells: list[tuple[int, ...]],  # ordered polygon vertex tuples per cell
+    default_group: str = "Wall",
+    name: str = "unstructured2d",
+) -> Mesh:
+    """2D counterpart of build_mesh_from_cells: polygon cells (TR3/QU4/...)
+    whose "faces" are edges. Covers the reference drivers' 2D `.med` branch
+    (SOLVERLAB Mesh(file.med) is dimension-generic; the 50x50 square is the
+    reference wave drivers' default, WaveSystem_SphericalExplosion_expl_seq.cxx:151-175).
+    Edge measure = length, normal = in-plane outward unit, cell volume =
+    shoelace polygon area."""
+    points = np.asarray(points, dtype=np.float64)[:, :2]
+
+    face_map: dict[tuple[int, int], int] = {}
+    f_vertices: list[tuple[int, int]] = []
+    f_cells: list[list[int]] = []
+    for ci, cv in enumerate(cells):
+        k = len(cv)
+        for a in range(k):
+            gv = (cv[a], cv[(a + 1) % k])
+            key = (min(gv), max(gv))
+            j = face_map.get(key)
+            if j is None:
+                face_map[key] = len(f_vertices)
+                f_vertices.append(gv)
+                f_cells.append([ci])
+            else:
+                f_cells[j].append(ci)
+
+    n_cells = len(cells)
+    cell_centroid = np.array([points[list(cv)].mean(axis=0) for cv in cells])
+    cell_volume = np.array([
+        0.5 * abs(sum(
+            points[cv[a], 0] * points[cv[(a + 1) % len(cv)], 1]
+            - points[cv[(a + 1) % len(cv)], 0] * points[cv[a], 1]
+            for a in range(len(cv))
+        ))
+        for cv in cells
+    ])
+
+    nF = len(f_vertices)
+    face_cells = np.full((nF, 2), -1, dtype=np.int64)
+    face_normal = np.zeros((nF, 2))
+    face_area = np.zeros(nF)
+    face_center = np.zeros((nF, 2))
+    for f, (gv, cl) in enumerate(zip(f_vertices, f_cells)):
+        if len(cl) > 2:
+            raise ValueError(f"edge {f} shared by {len(cl)} cells — broken mesh")
+        p0, p1 = points[gv[0]], points[gv[1]]
+        t = p1 - p0
+        L = float(np.hypot(*t))
+        nrm = np.array([t[1], -t[0]]) / L
+        ctr = 0.5 * (p0 + p1)
+        c0 = cl[0]
+        if np.dot(nrm, ctr - cell_centroid[c0]) < 0:
+            nrm = -nrm
+        face_cells[f, 0] = c0
+        if len(cl) == 2:
+            face_cells[f, 1] = cl[1]
+        face_normal[f] = nrm
+        face_area[f] = L
+        face_center[f] = ctr
+
+    groups = {default_group: 1}
+    face_group = np.where(face_cells[:, 1] < 0, 1, INTERIOR).astype(np.int32)
+    mesh = Mesh(
+        dim=2,
+        cell_center=cell_centroid,
+        cell_volume=cell_volume,
+        face_cells=face_cells,
+        face_normal=face_normal,
+        face_area=face_area,
+        face_center=face_center,
+        face_group=face_group,
+        groups=groups,
+        periodic_twin=None,
+        structured_shape=None,
+        bounds=None,
+        name=name,
+    )
+    mesh.points = points  # type: ignore[attr-defined]
+    mesh.cell_vertices = cells  # type: ignore[attr-defined]
+    mesh.face_vertices = f_vertices  # type: ignore[attr-defined]
+    return mesh
+
+
 def _hex_grid_points_cells(bounds, n, warp=None):
     nx, ny, nz = n
     bounds = np.asarray(bounds, dtype=np.float64).reshape(3, 2)

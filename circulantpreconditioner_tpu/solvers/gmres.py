@@ -13,10 +13,11 @@ TPU-first design:
 - the operator A and preconditioner M⁻¹ are plain callables (SpMV pytrees,
   circulant FFT solves, …) traced into ONE jitted program; no host round
   trips inside the iteration,
-- the Arnoldi basis V is a static (m+1, n) array; modified Gram-Schmidt is
-  a dense (m+1,n)·(n,) matvec pair per iteration, which XLA maps to the MXU.
-  Rows of V beyond the current Krylov dimension are zero, so no masking is
-  needed in the projections,
+- the Arnoldi basis V is a static (m+1, n) array; classical Gram-Schmidt
+  with one reorthogonalization pass (CGS2) is a dense (m+1,n)·(n,) matvec
+  pair per iteration, which XLA maps to the MXU. Rows of V beyond the
+  current Krylov dimension are zero, so no masking is needed in the
+  projections,
 - the Hessenberg least-squares is solved incrementally with Givens rotations
   (residual norm available every iteration without forming the solution),
 - the whole restart cycle is a lax.while_loop with on-device convergence
@@ -25,8 +26,8 @@ TPU-first design:
 
 Reduction-count parity note: PETSc's dot products are MPI_Allreduce calls;
 here they are XLA reductions fused into the program. Iteration counts match
-the reference within floating-point orthogonalization differences (MGS here;
-PETSc defaults to classical GS + optional refinement).
+the reference within floating-point orthogonalization differences (classical
+GS ×2 here; PETSc defaults to classical GS + optional refinement).
 """
 
 from __future__ import annotations

@@ -186,6 +186,7 @@ def _ilu0_numpy(A, n):
     factorization (SuperLU's zero-fill ILU is exactly singular on the wave
     matrix, so the canonical algorithm is implemented here directly)."""
     A = A.tocsr().copy().astype(np.float64)
+    A.sort_indices()  # searchsorted below requires per-row sorted columns
     indptr, ind, data = A.indptr, A.indices, A.data
     for i in range(n):
         cols = ind[indptr[i]:indptr[i + 1]]
@@ -193,10 +194,12 @@ def _ilu0_numpy(A, n):
             k = ind[kk]
             if k >= i:
                 break
+            dk = None
             for t in range(indptr[k], indptr[k + 1]):
                 if ind[t] == k:
                     dk = data[t]
                     break
+            assert dk is not None, f"ILU(0) pivot row {k} has no stored diagonal"
             data[kk] /= dk
             lik = data[kk]
             for t in range(indptr[k], indptr[k + 1]):

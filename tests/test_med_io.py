@@ -102,3 +102,46 @@ def test_driver_writes_med_series(tmp_path):
     assert len(series) >= 2  # t=0 plus at least one step
     for _, _, v in series:
         assert np.isfinite(v).all()
+
+
+def test_2d_med_roundtrip_and_driver(tmp_path):
+    """ESP=2 MED path: write a 2D square (QU4, the reference wave drivers'
+    default 50x50 domain at small size), read it back through the ESP=2
+    reader branch, check geometry, and run the explicit wave driver on the
+    file — the reference's 2D `.med` acceptance
+    (WaveSystem_SphericalExplosion_expl_seq.cxx:151-175)."""
+    m = cartesian_mesh(((0.0, 1.0), (0.0, 1.0)), (6, 6))
+    m.name = "square2d"
+    p = str(tmp_path / "square2d.med")
+    write_med(p, m, {"p": np.ones(m.n_cells)}, time=0.0, it=0)
+
+    m2 = read_med(p)
+    assert m2.dim == 2
+    assert m2.n_cells == m.n_cells and m2.n_faces == m.n_faces
+    np.testing.assert_allclose(np.sort(m2.cell_volume), np.sort(m.cell_volume), atol=1e-12)
+    np.testing.assert_allclose(m2.cell_volume.sum(), 1.0, atol=1e-12)
+    np.testing.assert_allclose(
+        m2.min_ratio_vol_surf(), m.min_ratio_vol_surf(), atol=1e-12)
+    assert len(m2.boundary_faces()) == 4 * 6
+
+    from circulantpreconditioner_tpu.drivers import wave_explicit
+
+    res = wave_explicit.main(
+        [p, "--tmax", "0.0001", "--ntmax", "3", "--result-dir", str(tmp_path)])
+    assert np.isfinite(np.asarray(res.state)).all()
+
+
+def test_2d_unstructured_triangle_roundtrip(tmp_path):
+    """TR3 cells through the writer's 2D unstructured block mapping and the
+    reader's ESP=2 branch."""
+    from circulantpreconditioner_tpu.mesh.unstructured import build_mesh_from_cells_2d
+
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.5, 0.5]])
+    cells = [(0, 1, 4), (1, 2, 4), (2, 3, 4), (3, 0, 4)]
+    m = build_mesh_from_cells_2d(pts, cells, name="tris")
+    np.testing.assert_allclose(m.cell_volume.sum(), 1.0, atol=1e-14)
+    p = str(tmp_path / "tris.med")
+    write_med(p, m, {"u": np.arange(4.0)}, time=0.0, it=0)
+    m2 = read_med(p)
+    assert m2.dim == 2 and m2.n_cells == 4 and m2.n_faces == 8
+    np.testing.assert_allclose(np.sort(m2.cell_volume), np.sort(m.cell_volume), atol=1e-14)
