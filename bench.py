@@ -1,25 +1,32 @@
 """Benchmark harness — run by the driver on real TPU hardware each round.
 
 Flagship metric: circulant FFT PC applies per second (one PC apply == one
-full DFT → eigenvalue divide → inverse-DFT solve) on the reference's largest
-registered problem, the 100³ transport grid
-(/root/reference/tests/CMakeLists.txt:42). The baseline is the same solve
-with SciPy's pocketfft on this host's CPU — the stand-in for the reference's
-single-node PETSc/FFTW path (the reference publishes no numbers; BASELINE.md
-mandates measuring).
+full direct solve of C x = b) on the reference's largest registered problem,
+the 100³ transport grid with velocity a = (1,0,0)
+(/root/reference/tests/CMakeLists.txt:42,
+ TransportEquation_SphericalExplosion_impl_mpi.cxx:258-259). The baseline is
+the same solve with SciPy's pocketfft (full 3D rfftn→divide→irfftn) on this
+host's CPU — the stand-in for the reference's single-node PETSc/FFTW path,
+which performs a full 3D FFT per solve regardless of the velocity
+(/root/reference/src/FftLinearSolver_3D.c:166-190).
+
+The measured solver is make_circulant_solver: for this λ pattern the exact
+spectral collapse applies (Λ depends only on kx ⇒ the y/z transforms cancel;
+ops/spectral_collapse.py) and the solve is ONE dense MXU matmul along x.
+The residual gate (1e-4, checked against the FULL 3D operator matvec) keeps
+the comparison honest. `submetrics` in the same JSON line record the
+full-3D formulations on identical hardware/methodology: the staged XLA DFT
+pipeline (HBM-roofline-bound, see PROFILE.md) and the fused Pallas VMEM
+kernel, so the flagship number is traceable to formulation, not timing
+drift.
 
 Timing methodology (load-bearing on the axon tunnel): `block_until_ready`
 does not reliably wait, and per-call host dispatch over the tunnel costs more
 than the solve itself — so we measure the DEVICE steady-state rate the way
-production runs the workload (the model time loops run on device via
-lax.scan, models/runner.py): one jitted `lax.fori_loop` chaining K dependent
-solves, completion forced by a full-array D2H fetch, and DIFFERENCE two loop
-lengths: per_step = (T_K2 − T_K1)/(K2 − K1), median over repetitions (the
-median filters occasional tunnel hiccups). The DFT-matmul path is loop-safe
-on this backend (the XLA FFT lowering is not — ~50× degradation under scan;
-see .claude/skills/verify/SKILL.md).
+production runs the workload: one jitted `lax.fori_loop` chaining K dependent
+solves, completion forced by a full-array D2H fetch, min over repetitions.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "submetrics"}.
 """
 
 from __future__ import annotations
@@ -60,6 +67,8 @@ def main() -> None:
         np_eigenvalue_diagonal,
     )
     from circulantpreconditioner_tpu.ops.dft_matmul import MatmulCirculantSolver
+    from circulantpreconditioner_tpu.ops.fused_circulant import FusedCirculantSolver
+    from circulantpreconditioner_tpu.ops.spectral_collapse import make_circulant_solver
     from circulantpreconditioner_tpu.utils import enable_compile_cache, retry_transient
 
     enable_compile_cache()
@@ -69,50 +78,74 @@ def main() -> None:
     dt = (1e3 / 3) * (h / 6)
     lambdas_zyx = (0.0, 0.0, 1.0 * dt / h)
     op = CirculantTransportOperator.create((n, n, n), lambdas_zyx, jnp.float32)
-    # DFT-by-matmul on the MXU at bf16x3 (1.6x the bf16x6 rate; rel.
-    # residual ~4e-5, gated below at 1e-4) — robust under chained stepping
-    # and immune to the XLA-FFT-under-scan pathology on this backend
-    solver = MatmulCirculantSolver.from_operator(op, precision="high")
 
     rng = np.random.default_rng(1)
     u0 = jnp.asarray(rng.random((n, n, n)).astype(np.float32) * 50 + 600)
-
-    print("bench: warmup/compile...", file=sys.stderr, flush=True)
-
-    @jax.jit
-    def run_loop(u, K):
-        return jax.lax.fori_loop(0, K, lambda i, v: solver.solve(v), u)
-
-    retry_transient(lambda: run_loop(u0, 4))
     np.asarray(u0)  # warm the D2H path (first transfer can take minutes)
-    np.asarray(run_loop(u0, 4))
 
-    # one long device loop per rep: dispatch+fetch overhead amortizes to
-    # <1% and the min over reps rejects tunnel hiccups (differenced short
-    # chains proved noisy in both directions on this backend)
-    K = 3000
-    totals = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run_loop(u0, K))  # fetch forces completion
-        totals.append(time.perf_counter() - t0)
-    per_step = max(min(totals) / K, 1e-6)
-    per_steps = [t / K for t in totals]
-    solves_per_s = 1.0 / per_step
-    print(f"bench: per-solve {per_step*1e3:.3f} ms (reps: "
-          f"{[f'{p*1e3:.3f}' for p in per_steps]})", file=sys.stderr, flush=True)
+    def rate_and_residual(solver, K1=1000, K2=6000, reps=3):
+        """Differenced device chains: per = (T(K2)−T(K1))/(K2−K1) cancels the
+        fixed dispatch+fetch overhead exactly; min over reps rejects tunnel
+        hiccups."""
+        @jax.jit
+        def run_loop(u, K):
+            return jax.lax.fori_loop(0, K, lambda i, v: solver.solve(v), u)
 
-    # correctness gate: residual of one solve via the stencil matvec
-    u1 = solver.solve(u0)
-    r = retry_transient(
-        lambda: jax.jit(
-            lambda a, b: jnp.full((8, 128), jnp.linalg.norm(op.matvec(a) - b) / jnp.linalg.norm(b))
-        )(u1, u0)
-    )
-    rel_res = float(np.asarray(r)[0, 0])
+        retry_transient(lambda: run_loop(u0, 4))
+        np.asarray(run_loop(u0, 4))
+
+        def chain(K):
+            t0 = time.perf_counter()
+            np.asarray(run_loop(u0, K))  # fetch forces completion
+            return time.perf_counter() - t0
+
+        t1 = min(chain(K1) for _ in range(reps))
+        t2 = min(chain(K2) for _ in range(reps))
+        per = max((t2 - t1) / (K2 - K1), 1e-7)
+        # residual of one solve, via the FULL 3D operator's stencil matvec
+        u1 = solver.solve(u0)
+        r = retry_transient(
+            lambda: jax.jit(
+                lambda a, b: jnp.full((8, 128),
+                                      jnp.linalg.norm(op.matvec(a) - b) / jnp.linalg.norm(b))
+            )(u1, u0)
+        )
+        return 1.0 / per, float(np.asarray(r)[0, 0])
+
+    # flagship: exact spectral collapse (dense matmul along x), bf16x3 tier.
+    # K sized so the one D2H fetch (~0.1 s through the tunnel) amortizes to
+    # <2% of the loop for a ~30 µs/solve rate.
+    print("bench: flagship (spectral collapse, high tier)...", file=sys.stderr, flush=True)
+    flagship = make_circulant_solver((n, n, n), lambdas_zyx, jnp.float32, precision="high")
+    solves_per_s, rel_res = rate_and_residual(flagship, K1=2000, K2=20000)
+    print(f"bench: flagship {solves_per_s:.0f} solves/s, residual {rel_res:.2e}",
+          file=sys.stderr, flush=True)
     if not rel_res < 1e-4:
         print(f"RESIDUAL CHECK FAILED: {rel_res}", file=sys.stderr)
         sys.exit(1)
+
+    submetrics = {"flagship_rel_residual": round(rel_res, 8)}
+
+    # full-3D formulations for traceability (same hardware, same methodology)
+    try:
+        staged = MatmulCirculantSolver.from_operator(op, precision="high")
+        v, r = rate_and_residual(staged)
+        submetrics["staged_full3d_solves_per_s"] = round(v, 1)
+        submetrics["staged_full3d_rel_residual"] = round(r, 8)
+        print(f"bench: staged full-3D {v:.0f} solves/s (res {r:.1e})",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover
+        submetrics["staged_full3d_error"] = str(e)[:120]
+    try:
+        fused = FusedCirculantSolver.from_operator(op, precision="high")
+        if isinstance(fused, FusedCirculantSolver):
+            v, r = rate_and_residual(fused, K1=500, K2=2500, reps=2)
+            submetrics["fused_full3d_solves_per_s"] = round(v, 1)
+            submetrics["fused_full3d_rel_residual"] = round(r, 8)
+            print(f"bench: fused full-3D {v:.0f} solves/s (res {r:.1e})",
+                  file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover
+        submetrics["fused_full3d_error"] = str(e)[:120]
 
     lam_np = np_eigenvalue_diagonal((n, n, n), lambdas_zyx, rfft=True)
     baseline = measure_scipy_baseline(n, lam_np)
@@ -125,6 +158,7 @@ def main() -> None:
                 "value": round(solves_per_s, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / baseline, 2),
+                "submetrics": submetrics,
             }
         )
     )

@@ -56,6 +56,7 @@ def bench_circulant():
         np_eigenvalue_diagonal,
     )
     from circulantpreconditioner_tpu.ops.dft_matmul import MatmulCirculantSolver
+    from circulantpreconditioner_tpu.ops.spectral_collapse import make_circulant_solver
     from circulantpreconditioner_tpu.utils import retry_transient
 
     n = 100
@@ -63,16 +64,22 @@ def bench_circulant():
     dt = (1e3 / 3) * (h / 6)
     lambdas = (0.0, 0.0, 1.0 * dt / h)
     op = CirculantTransportOperator.create((n, n, n), lambdas, jnp.float32)
-    solver = MatmulCirculantSolver.from_operator(op, precision="highest")
     u0 = jnp.asarray(np.random.default_rng(1).random((n, n, n)).astype(np.float32))
 
-    @jax.jit
-    def run(u, K):
-        return jax.lax.fori_loop(0, K, lambda i, v: solver.solve(v), u)
+    def rate(solver, K1, K2):
+        @jax.jit
+        def run(u, K):
+            return jax.lax.fori_loop(0, K, lambda i, v: solver.solve(v), u)
 
-    retry_transient(lambda: run(u0, 4))
-    np.asarray(run(u0, 4))
-    per = _dev_time(run, u0, K1=100, K2=600)
+        retry_transient(lambda: run(u0, 4))
+        np.asarray(run(u0, 4))
+        return _dev_time(run, u0, K1=K1, K2=K2)
+
+    # flagship: exact spectral collapse for the reference's a=(1,0,0) config
+    flagship = make_circulant_solver((n, n, n), lambdas, jnp.float32, precision="high")
+    per = rate(flagship, K1=2000, K2=20000)
+    staged = MatmulCirculantSolver.from_operator(op, precision="high")
+    per_staged = rate(staged, K1=500, K2=3000)
 
     lam = np_eigenvalue_diagonal((n, n, n), lambdas, rfft=True).astype(np.complex64)
     v = np.asarray(u0)
@@ -82,7 +89,8 @@ def bench_circulant():
         v = sfft.irfftn(sfft.rfftn(v) / lam, s=v.shape).astype(np.float32)
     base = (time.perf_counter() - t0) / 20
     return {"metric": "circulant_pc_applies_per_s_100cubed", "value": round(1 / per, 1),
-            "unit": "solves/s", "vs_baseline": round(base / per, 1)}
+            "unit": "solves/s", "vs_baseline": round(base / per, 1),
+            "staged_full3d_solves_per_s": round(1 / per_staged, 1)}
 
 
 def bench_spmv(n_side=32):
@@ -123,6 +131,75 @@ def bench_spmv(n_side=32):
     base = (time.perf_counter() - t0) / 20
     return {"metric": f"spmv_gnnz_per_s_kershaw{n_side}", "value": round(nnz / per / 1e9, 3),
             "unit": "Gnnz/s", "vs_baseline": round(base / per, 1)}
+
+
+def bench_spmv_tet(n_side=16):
+    """Tetrahedral supercell stencil SpMV (FVCA6 'gentle tetrahedra' analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import tet_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    print(f"bench: building tet {n_side}^3 ...", file=sys.stderr, flush=True)
+    mesh = tet_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+    A = model.divergence.to_csr(jnp.float32)
+    nnz = A.nnz
+    D = model.divergence_op()
+    x0 = jnp.asarray(np.random.default_rng(0).random(A.shape[0]).astype(np.float32))
+
+    @jax.jit
+    def run(x, K):
+        def body(i, v):
+            y = D(v)
+            return y / jnp.maximum(jnp.linalg.norm(y), 1e-30) * jnp.linalg.norm(v)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    retry_transient(lambda: run(x0, 4))
+    np.asarray(run(x0, 4))
+    per = _dev_time(run, x0, K1=50, K2=250)
+    return {"metric": f"spmv_gnnz_per_s_tet{n_side}", "value": round(nnz / per / 1e9, 3),
+            "unit": "Gnnz/s"}
+
+
+def bench_pc_iterations(sides=(8, 16, 24)):
+    """GMRES iteration counts on the Kershaw implicit wave step, by PC —
+    the table the reference prints but never records
+    (WaveSystem_..._impl_seq.cxx:138-148). cfl=1e3/3, tol 1e-5,
+    right-preconditioned true-residual GMRES."""
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.solvers import preconditioners as pcs
+    from circulantpreconditioner_tpu.solvers.circulant_pc import BlockCirculantProjectionPC
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    table = {}
+    for n_side in sides:
+        print(f"bench: pc iteration table, kershaw {n_side}^3 ...", file=sys.stderr,
+              flush=True)
+        mesh = kershaw_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+        model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+        coarse = BlockCirculantProjectionPC(mesh, model.dt, model.c0, dtype=jnp.float32)
+        pcs_by_name = {
+            "none": None,
+            "pbjacobi": pcs.pbjacobi(model.divergence, shift=1.0),
+            "circulant2l": pcs.additive(coarse.apply,
+                                        pcs.pbjacobi(model.divergence, shift=1.0)),
+        }
+        row = {}
+        for name, M in pcs_by_name.items():
+            step = model.implicit_stepper(M=M, rtol=1e-5, atol=1e-5, maxiter=1000,
+                                          side="right")
+            out = retry_transient(lambda: step(model.initial_state()))
+            row[name] = {"iters": int(np.asarray(out[2])),
+                         "converged": bool(np.asarray(out[4]))}
+        table[f"kershaw{n_side}"] = row
+    return {"metric": "wave_implicit_gmres_iters_by_pc", "value": table,
+            "unit": "iterations"}
 
 
 def bench_wave_implicit(n_side=16):
@@ -168,16 +245,38 @@ def bench_wave_implicit(n_side=16):
             "gmres_iters": iters, "converged": converged}
 
 
-def main():
+def main(out_path: str | None = None):
     from circulantpreconditioner_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    for fn in (bench_circulant, bench_spmv, bench_wave_implicit):
+    results = []
+    for fn in (bench_circulant, bench_spmv, bench_spmv_tet, bench_wave_implicit,
+               bench_pc_iterations):
         try:
-            print(json.dumps(fn()), flush=True)
+            rec = fn()
         except Exception as e:  # keep the suite going; record the failure
-            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}), flush=True)
+            rec = {"metric": fn.__name__, "error": str(e)[:200]}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+    if out_path:
+        import datetime
+        import os
+
+        import jax
+
+        payload = {
+            "date": datetime.date.today().isoformat(),
+            "device": str(jax.devices()[0]),
+            "jax": jax.__version__,
+            "methodology": "differenced device chains, min over reps "
+                           "(see bench.py docstring)",
+            "results": results,
+        }
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

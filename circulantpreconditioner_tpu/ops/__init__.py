@@ -7,3 +7,8 @@ from circulantpreconditioner_tpu.ops.circulant import (  # noqa: F401
     stencil_symbol,
 )
 from circulantpreconditioner_tpu.ops.csr import CSRMatrix, BSRMatrix  # noqa: F401
+from circulantpreconditioner_tpu.ops.spectral_collapse import (  # noqa: F401
+    DenseCirculantSolver,
+    IdentitySolver,
+    make_circulant_solver,
+)

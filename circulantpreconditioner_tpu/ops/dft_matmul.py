@@ -42,19 +42,14 @@ _PRECISIONS = {
 }
 
 
-def _dft_mats(n: int, dtype):
+def _np_dft_mats(n: int):
     k = np.arange(n)
     W = np.exp(-2j * np.pi * np.outer(k, k) / n)
     Winv = np.exp(2j * np.pi * np.outer(k, k) / n) / n
-    return (
-        jnp.asarray(W.real, dtype=dtype),
-        jnp.asarray(W.imag, dtype=dtype),
-        jnp.asarray(Winv.real, dtype=dtype),
-        jnp.asarray(Winv.imag, dtype=dtype),
-    )
+    return W.real, W.imag, Winv.real, Winv.imag
 
 
-def _rdft_mats(n: int, dtype):
+def _np_rdft_mats(n: int):
     nr = n // 2 + 1
     j = np.arange(n)
     k = np.arange(nr)
@@ -68,12 +63,15 @@ def _rdft_mats(n: int, dtype):
     angi = 2 * np.pi * np.outer(k, j) / n
     B_re = (w[:, None] * np.cos(angi)) / n  # (nr, n): u = re@B_re + im@B_im
     B_im = (-w[:, None] * np.sin(angi)) / n
-    return (
-        jnp.asarray(F_re, dtype=dtype),
-        jnp.asarray(F_im, dtype=dtype),
-        jnp.asarray(B_re, dtype=dtype),
-        jnp.asarray(B_im, dtype=dtype),
-    )
+    return F_re, F_im, B_re, B_im
+
+
+def _dft_mats(n: int, dtype):
+    return tuple(jnp.asarray(m, dtype=dtype) for m in _np_dft_mats(n))
+
+
+def _rdft_mats(n: int, dtype):
+    return tuple(jnp.asarray(m, dtype=dtype) for m in _np_rdft_mats(n))
 
 
 def _axis_cdft(re, im, C, S, axis, ndim, precision):
@@ -103,18 +101,22 @@ class MatmulCirculantSolver:
     # sloppy M⁻¹ still preconditions; GMRES convergence is tested on the
     # true residual)
     precision: str = "highest"
+    # z/y axes actually transformed (positions into shape_zyx[:-1]); None =
+    # all. Axes with λ=0 may be elided EXACTLY: Λ is independent of their
+    # frequencies so F⁻¹·diag(Λ)·F cancels on them (ops/spectral_collapse.py)
+    axes: tuple[int, ...] | None = None
 
     def tree_flatten(self):
-        return (self.arrays,), (self.shape_zyx, self.precision)
+        return (self.arrays,), (self.shape_zyx, self.precision, self.axes)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (arrays,) = children
-        return cls(aux[0], arrays, aux[1])
+        return cls(aux[0], arrays, aux[1], aux[2] if len(aux) > 2 else None)
 
     @classmethod
     def create(cls, shape_zyx: Sequence[int], lambdas_zyx: Sequence[float], dtype=jnp.float32,
-               precision: str = "highest"):
+               precision: str = "highest", elide_zero_axes: bool = False):
         shape_zyx = tuple(int(v) for v in shape_zyx)
         lam = np_eigenvalue_diagonal(shape_zyx, lambdas_zyx, rfft=True)
         den = (lam.real**2 + lam.imag**2)
@@ -123,10 +125,14 @@ class MatmulCirculantSolver:
         nx = shape_zyx[-1]
         F_re, F_im, B_re, B_im = _rdft_mats(nx, dtype)
         mats = []
-        for n in shape_zyx[:-1]:
+        axes = []
+        for i, n in enumerate(shape_zyx[:-1]):
+            if elide_zero_axes and float(lambdas_zyx[i]) == 0.0:
+                continue  # exact: Λ does not depend on this axis's frequency
             mats.append(_dft_mats(n, dtype))
+            axes.append(i)
         return cls(shape_zyx, (inv_re, inv_im, F_re, F_im, B_re, B_im, tuple(mats)),
-                   precision)
+                   precision, tuple(axes))
 
     @classmethod
     def from_operator(cls, op: CirculantTransportOperator, precision: str = "highest"):
@@ -146,13 +152,14 @@ class MatmulCirculantSolver:
         spec_x = f"{sub},xk->{sub[:-1]}k"
         re = jnp.einsum(spec_x, g, F_re, preferred_element_type=g.dtype, precision=prec)
         im = jnp.einsum(spec_x, g, F_im, preferred_element_type=g.dtype, precision=prec)
+        axes = self.axes if self.axes is not None else tuple(range(len(mats)))
         # forward full transforms along remaining axes (z, y)
-        for ax_i, (C, S, _, _) in enumerate(mats):
+        for ax_i, (C, S, _, _) in zip(axes, mats):
             re, im = _axis_cdft(re, im, C, S, ax_i, ndim, prec)
         # multiply by precomputed 1/Λ
         re, im = re * inv_re - im * inv_im, re * inv_im + im * inv_re
         # inverse transforms along z, y
-        for ax_i, (_, _, Ci, Si) in enumerate(mats):
+        for ax_i, (_, _, Ci, Si) in zip(axes, mats):
             re, im = _axis_cdft(re, im, Ci, Si, ax_i, ndim, prec)
         # inverse half-spectrum transform back to real along x
         spec_b = f"{sub[:-1]}k,kx->{sub}"
