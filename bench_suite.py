@@ -174,7 +174,10 @@ def bench_pc_iterations(sides=(8, 16, 24)):
     from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
     from circulantpreconditioner_tpu.models import WaveSystem
     from circulantpreconditioner_tpu.solvers import preconditioners as pcs
-    from circulantpreconditioner_tpu.solvers.circulant_pc import BlockCirculantProjectionPC
+    from circulantpreconditioner_tpu.solvers.circulant_pc import (
+        BlockCirculantProjectionPC,
+        DCTBlockProjectionPC,
+    )
     from circulantpreconditioner_tpu.utils import retry_transient
 
     table = {}
@@ -184,11 +187,13 @@ def bench_pc_iterations(sides=(8, 16, 24)):
         mesh = kershaw_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
         model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
         coarse = BlockCirculantProjectionPC(mesh, model.dt, model.c0, dtype=jnp.float32)
+        dct = DCTBlockProjectionPC(mesh, model.dt, model.c0, dtype=jnp.float32)
+        pj = pcs.pbjacobi(model.divergence, shift=1.0)
         pcs_by_name = {
             "none": None,
-            "pbjacobi": pcs.pbjacobi(model.divergence, shift=1.0),
-            "circulant2l": pcs.additive(coarse.apply,
-                                        pcs.pbjacobi(model.divergence, shift=1.0)),
+            "pbjacobi": pj,
+            "circulant2l": pcs.additive(coarse.apply, pj),
+            "dct2l": pcs.additive(dct.apply, pj),
         }
         row = {}
         for name, M in pcs_by_name.items():
@@ -245,17 +250,31 @@ def bench_wave_implicit(n_side=16):
             "gmres_iters": iters, "converged": converged}
 
 
-def main(out_path: str | None = None):
+_BENCHES = {
+    "circulant": lambda: bench_circulant(),
+    "spmv": lambda: bench_spmv(),
+    "spmv_tet": lambda: bench_spmv_tet(),
+    "wave_implicit": lambda: bench_wave_implicit(),
+    "pc_iterations": lambda: bench_pc_iterations(),
+}
+
+
+def main(out_path: str | None = None, only: list[str] | None = None):
+    """Usage: python bench_suite.py [out.json] [bench1,bench2,...]
+
+    With a subset, results MERGE into an existing out.json by metric name
+    (the full suite exceeds single-process timeouts on the tunnel)."""
     from circulantpreconditioner_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
     results = []
-    for fn in (bench_circulant, bench_spmv, bench_spmv_tet, bench_wave_implicit,
-               bench_pc_iterations):
+    for name, fn in _BENCHES.items():
+        if only and name not in only:
+            continue
         try:
             rec = fn()
         except Exception as e:  # keep the suite going; record the failure
-            rec = {"metric": fn.__name__, "error": str(e)[:200]}
+            rec = {"metric": name, "error": str(e)[:200]}
         print(json.dumps(rec), flush=True)
         results.append(rec)
     if out_path:
@@ -272,6 +291,12 @@ def main(out_path: str | None = None):
                            "(see bench.py docstring)",
             "results": results,
         }
+        if only and os.path.exists(out_path):
+            with open(out_path) as f:
+                old = json.load(f)
+            merged = {r["metric"]: r for r in old.get("results", [])}
+            merged.update({r["metric"]: r for r in results})
+            payload["results"] = list(merged.values())
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
@@ -279,4 +304,5 @@ def main(out_path: str | None = None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None)
+    main(sys.argv[1] if len(sys.argv) > 1 else None,
+         sys.argv[2].split(",") if len(sys.argv) > 2 else None)

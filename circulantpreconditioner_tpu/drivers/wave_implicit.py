@@ -22,7 +22,7 @@ from circulantpreconditioner_tpu.solvers import preconditioners as pcs
 def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--pc", choices=["none", "pbjacobi", "ilu0", "bjacobi", "blockfft",
-                                    "circulant2l"], default="ilu0")
+                                    "circulant2l", "dct2l"], default="ilu0")
     p.add_argument("--n-blocks", type=int, default=4, help="bjacobi partition count")
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--atol", type=float, default=1e-5)
@@ -66,12 +66,14 @@ def main(argv=None):
                 (sp.eye(model.divergence.shape[0])
                  + model.divergence.to_csr(dtype).to_scipy()).tocsr(), dtype=dtype)
             M = pcs.block_jacobi_ilu0(A_I, args.n_blocks)
-        elif args.pc == "circulant2l":
+        elif args.pc in ("circulant2l", "dct2l"):
             from circulantpreconditioner_tpu.solvers.circulant_pc import (
                 BlockCirculantProjectionPC,
+                DCTBlockProjectionPC,
             )
 
-            coarse = BlockCirculantProjectionPC(mesh, model.dt, model.c0, dtype=dtype)
+            cls = DCTBlockProjectionPC if args.pc == "dct2l" else BlockCirculantProjectionPC
+            coarse = cls(mesh, model.dt, model.c0, dtype=dtype)
             M = pcs.additive(coarse.apply, pcs.pbjacobi(model.divergence, shift=1.0))
             side = "right"
         step = model.implicit_stepper(M=M, rtol=args.rtol, atol=args.atol,

@@ -1,0 +1,188 @@
+"""Wall-BC (reflective) block direct solver for the wave system via DCT/DST.
+
+The periodic block-circulant preconditioner (solvers/circulant_pc.py) uses a
+PERIODIC cartesian operator while the FV wave operator has WALL mirror
+boundaries (reference /root/reference/src/WaveSystem.cxx:150-157, assembled
+here by ops/assembly.wave_divergence_bsr: the wall face adds −Am·2vvᵀ to the
+center block — exactly the mirror-ghost closure u_ghost = (I − 2vvᵀ)·u).
+That boundary mismatch bounds the PC's effectiveness. This module removes it.
+
+Math. On a uniform cartesian grid with mirror walls, the implicit upwind
+wave operator I + D is EXACTLY block-diagonalized by real mixed cosine/sine
+transforms: expand the pressure p (and tangential velocities) in DCT-II
+modes cos(πk(i+½)/n) and the axis-d normal velocity q_d in DST-II modes
+sin(πm(i+½)/n) along axis d. Both families satisfy the mirror ghost
+conditions identically (p_{-1}=p_0, q_{-1}=−q_0 and the same at i=n−1), and
+per frequency the operator couples (P, Q_d) through a REAL (dim+1)×(dim+1)
+block:
+
+    B(t) = C + Σ_d [ 2cosθ_d · S_d  −  σ_d(c) · 2sinθ_d · K_d ],
+    θ_d = π t_d / n_d,
+    S_d = (B_d⁺ + B_d⁻)/2 = −λ_d|A_d|/2   (symmetric/diffusive part),
+    K_d = (B_d⁺ − B_d⁻)/2 = +λ_d A_d/2    (antisymmetric/advective part),
+    σ_d(c) = −1 iff component c is q_d (sine-type along axis d), else +1,
+
+derived from the same wave_block_stencil blocks the periodic PC uses. The
+cos family has n modes (k=0..n−1), the sin family n modes (m=1..n); to keep
+one aligned (nb×nb)-block tensor both are embedded in n+1 frequency slots
+(cos slot n and sin slot 0 are structurally zero; the couplings vanish there
+because sinθ=0, so dead and live components never mix). Everything is real:
+forward/backward transforms are n×n matmuls on the MXU and the block solve
+is a pre-inverted real (…, nb, nb) tensor contraction — no complex pairs at
+all, which also sidesteps the axon complex64 boundary restriction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from circulantpreconditioner_tpu.ops.dft_matmul import _PRECISIONS
+
+
+def _np_cos_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """DCT-II forward (n+1, n) with zero last row, and its left inverse
+    (n, n+1) with zero last column."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    T = np.zeros((n + 1, n))
+    T[:n] = np.cos(np.pi * k * (i + 0.5) / n)
+    I = np.zeros((n, n + 1))
+    I[:, :n] = np.linalg.inv(T[:n])
+    return T, I
+
+
+def _np_sin_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """DST-II forward (n+1, n) with zero first row (modes m=1..n), and its
+    left inverse (n, n+1) with zero first column."""
+    m = np.arange(1, n + 1)[:, None]
+    i = np.arange(n)[None, :]
+    T = np.zeros((n + 1, n))
+    T[1:] = np.sin(np.pi * m * (i + 0.5) / n)
+    I = np.zeros((n, n + 1))
+    I[:, 1:] = np.linalg.inv(T[1:])
+    return T, I
+
+
+def _np_wall_block_tensor(shape_zyx, dim, dt, c0, spacing_xyz) -> np.ndarray:
+    """Pre-inverted real frequency blocks, shape (*(n_a+1,), nb, nb)."""
+    from circulantpreconditioner_tpu.ops.assembly import wave_jacobian_blocks
+
+    nb = dim + 1
+    ndim = len(shape_zyx)
+    h = np.asarray(spacing_xyz, dtype=np.float64)[:dim]
+    # per zyx-axis a: S_a, K_a and the center accumulation
+    C = np.eye(nb)
+    S = {}
+    K = {}
+    for d in range(dim):  # xyz axis index; zyx position a = ndim-1-d
+        a = ndim - 1 - d
+        e = np.zeros((1, dim))
+        e[0, d] = 1.0
+        A, absA = wave_jacobian_blocks(e, c0)
+        lam = dt / h[d]
+        S[a] = -0.5 * lam * absA[0]
+        K[a] = 0.5 * lam * A[0]
+        C = C + lam * absA[0]
+    # σ_a(c): −1 iff component c is the q of the xyz axis mapped to a
+    sigma = np.ones((ndim, nb))
+    for d in range(dim):
+        sigma[ndim - 1 - d, 1 + d] = -1.0
+
+    out_shape = tuple(n + 1 for n in shape_zyx)
+    B = np.zeros(out_shape + (nb, nb))
+    B[...] = C
+    for a, n in enumerate(shape_zyx):
+        th = np.pi * np.arange(n + 1) / n
+        bshape = [1] * ndim
+        bshape[a] = n + 1
+        cos2 = (2 * np.cos(th)).reshape(bshape + [1, 1])
+        sin2 = (2 * np.sin(th)).reshape(bshape + [1, 1])
+        B = B + cos2 * S[a] - sin2 * (K[a] * sigma[a][None, :])
+    return np.linalg.inv(B)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DCTBlockWaveSolver:
+    """Exact direct solver for the wall-BC cartesian wave operator I + D,
+    all-real transforms on the MXU. Companion to
+    ops/dft_matmul.MatmulBlockCirculantSolver (the periodic variant)."""
+
+    shape_zyx: tuple[int, ...]
+    nb: int
+    arrays: tuple  # (inv_blocks, per-axis (Tc, Ic, Ts, Is))
+    precision: str = "high"
+
+    def tree_flatten(self):
+        return (self.arrays,), (self.shape_zyx, self.nb, self.precision)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (arrays,) = children
+        return cls(aux[0], aux[1], arrays, aux[2])
+
+    @classmethod
+    def create(cls, shape_zyx: Sequence[int], dim: int, dt: float, c0: float,
+               spacing_xyz, dtype=jnp.float32, precision: str = "high"):
+        shape_zyx = tuple(int(v) for v in shape_zyx)
+        inv = _np_wall_block_tensor(shape_zyx, dim, dt, c0, spacing_xyz)
+        mats = []
+        for n in shape_zyx:
+            Tc, Ic = _np_cos_mats(n)
+            Ts, Is = _np_sin_mats(n)
+            mats.append(tuple(jnp.asarray(m, dtype=dtype) for m in (Tc, Ic, Ts, Is)))
+        return cls(shape_zyx, dim + 1,
+                   (jnp.asarray(inv, dtype=dtype), tuple(mats)), precision)
+
+    @property
+    def m(self) -> int:  # block size, MatmulBlockCirculantSolver-compatible
+        return self.nb
+
+    def _axis_is_sine(self, comp: int, a: int) -> bool:
+        ndim = len(self.shape_zyx)
+        return comp >= 1 and a == ndim - 1 - (comp - 1)
+
+    @jax.jit
+    def solve(self, b: jax.Array) -> jax.Array:
+        """b shaped (*shape_zyx, nb) or flat (N·nb,) cell-major; real."""
+        was_flat = b.ndim == 1
+        g = b.reshape(self.shape_zyx + (self.nb,))
+        inv, mats = self.arrays
+        prec = _PRECISIONS[self.precision]
+        ndim = len(self.shape_zyx)
+        sub = "zyx"[3 - ndim:]
+
+        def fwd(v, comp):
+            for a in range(ndim):
+                Tc, _, Ts, _ = mats[a]
+                T = Ts if self._axis_is_sine(comp, a) else Tc
+                ax = sub[a]
+                spec = f"{sub},w{ax}->{sub.replace(ax, 'w')}"
+                v = jnp.einsum(spec, v, T, preferred_element_type=v.dtype,
+                               precision=prec)
+            return v
+
+        def bwd(v, comp):
+            for a in range(ndim):
+                _, Ic, _, Is = mats[a]
+                T = Is if self._axis_is_sine(comp, a) else Ic
+                ax = sub[a]
+                spec = f"{sub},w{ax}->{sub.replace(ax, 'w')}"
+                v = jnp.einsum(spec, v, T, preferred_element_type=v.dtype,
+                               precision=prec)
+            return v
+
+        spec_hat = jnp.stack([fwd(g[..., c], c) for c in range(self.nb)], axis=-1)
+        x_hat = jnp.einsum("...ij,...j->...i", inv, spec_hat,
+                           preferred_element_type=g.dtype, precision=prec)
+        x = jnp.stack([bwd(x_hat[..., c], c) for c in range(self.nb)], axis=-1)
+        return x.reshape(-1) if was_flat else x
+
+    def as_preconditioner(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(DCTBlockWaveSolver.solve, self)
