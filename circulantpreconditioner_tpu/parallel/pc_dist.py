@@ -19,9 +19,13 @@ with FFTW-MPI providing the distributed FFT). Here:
   to the systolic array.
 - `DistributedBlockCirculantPC`: M⁻¹ = P_back·C⁻¹·P with P/P_back
   row-sharded (cart rows with the z-slabs, cell rows with the vector) and
-  the circulant solve slab-sharded — the whole apply is ONE shard_map
-  (all_gather(r) → local projection rows → slab DFT solve → all_gather of
-  the cartesian solution → local back-projection rows).
+  the circulant solve slab-sharded — the whole apply is ONE shard_map.
+  Communication is four all_to_alls: a personalized halo exchange of the
+  residual rows each slab's P rows reference (VecScatter analog), the
+  slab solver's y↔z transpose pair, and a halo exchange of the cartesian
+  solution rows each device's P_back rows reference. No all-gather — the
+  exchanged volume is the projection stencils' footprint, O(N/P + halo)
+  per device instead of O(N).
 
 The cartesian grid is derived as in the single-device PC
 (solvers/circulant_pc.derive_grid_context, = getFFTPrec3DContext,
@@ -45,6 +49,56 @@ from circulantpreconditioner_tpu.ops.dft_matmul import (
     _dft_mats,
     _rdft_mats,
 )
+
+
+def _build_exchange(cols: np.ndarray, n_src_blocks: int, Pn: int):
+    """Personalized-exchange plan for a row-sharded gather (VecScatter analog,
+    SURVEY §2.6: exchange exactly the needed rows, never replicate).
+
+    `cols` is the (n_dst_rows, K) ELL column table of a projection matrix,
+    values are global block-row indices into a source vector of
+    `n_src_blocks` block rows that is row-sharded contiguously over Pn
+    devices. Destination rows are likewise sharded contiguously
+    (n_dst_rows % Pn == 0). Returns:
+
+      send_idx   (Pn, Pn, H) int32 — send_idx[j, i] = LOCAL block rows that
+                 source device j must send to destination device i (padded
+                 with 0; padding is harmless because remapped cols never
+                 point at pad slots).
+      cols_remap (n_dst_rows, K) int32 — cols rewritten to index the
+                 all_to_all receive buffer flattened to (Pn*H,): after
+                 device i computes
+                     recv = all_to_all(src_loc[send_idx_i], split=0, concat=0)
+                 it holds recv.reshape(Pn*H, ...)[cols_remap[r]] ==
+                 src[cols[r]] for every destination row r it owns.
+      H          int — max rows any device pair exchanges (the halo width).
+    """
+    n_dst = cols.shape[0]
+    if n_src_blocks % Pn or n_dst % Pn:
+        raise ValueError("source and destination rows must shard evenly")
+    Bs = n_src_blocks // Pn
+    Bd = n_dst // Pn
+    reqs = []  # reqs[i][j] = sorted unique global cols dest i needs from src j
+    H = 1
+    for i in range(Pn):
+        needed = np.unique(cols[i * Bd:(i + 1) * Bd].ravel())
+        owner = needed // Bs
+        per_src = [needed[owner == j] for j in range(Pn)]
+        reqs.append(per_src)
+        H = max(H, max(len(r) for r in per_src))
+    send_idx = np.zeros((Pn, Pn, H), np.int32)
+    cols_remap = np.empty_like(cols, dtype=np.int32)
+    for i in range(Pn):
+        # buffer position of each needed global col: j*H + rank within reqs[i][j]
+        needed = np.concatenate(reqs[i])          # sorted overall (owners ascend)
+        pos = np.concatenate([j * H + np.arange(len(reqs[i][j]), dtype=np.int32)
+                              for j in range(Pn)])
+        for j in range(Pn):
+            rj = reqs[i][j]
+            send_idx[j, i, :len(rj)] = rj - j * Bs
+        blk = cols[i * Bd:(i + 1) * Bd]
+        cols_remap[i * Bd:(i + 1) * Bd] = pos[np.searchsorted(needed, blk)]
+    return send_idx, cols_remap, H
 
 
 def _pad_ell(A: CSRMatrix, n_rows_padded: int):
@@ -230,8 +284,12 @@ class DistributedBlockCirculantPC:
     residual of the sharded GMRES; P's rows (cartesian cells, x-fastest
     flattening) are sharded so each device's rows ARE its z-slab; the slab
     solve runs in place; P_back's rows (unstructured cells) are sharded like
-    the vector. Communication per apply: all_gather(r) + y↔z all_to_all
-    pair + all_gather(x_cart).
+    the vector. Communication per apply (halo=True, the default): a
+    personalized all_to_all of the residual rows each slab needs, the y↔z
+    all_to_all transpose pair, and a personalized all_to_all of the
+    cartesian solution rows each device's P_back rows need — never an
+    all-gather (locked by the compiled-HLO test). halo=False keeps the
+    replicating all_gather formulation for comparison.
 
     Use as the coarse term of an additive composite with sharded_pbjacobi
     and side="right" GMRES, exactly like the single-device circulant2l mode
@@ -240,7 +298,8 @@ class DistributedBlockCirculantPC:
 
     def __init__(self, fv_mesh: FVMesh, dt: float, c0: float, dmesh: Mesh,
                  n_padded: int, axis: str = "shard", dtype=jnp.float32,
-                 samples_per_axis: int = 3, precision: str = "high"):
+                 samples_per_axis: int = 3, precision: str = "high",
+                 halo: bool = True):
         from circulantpreconditioner_tpu.ops.assembly import wave_block_stencil
         from circulantpreconditioner_tpu.solvers.circulant_pc import (
             build_projection_matrices,
@@ -279,6 +338,56 @@ class DistributedBlockCirculantPC:
         axis_name = axis
         solver = self.solver
         local_solve = solver._local_solve
+        y_spec = P(None, axis, None, None, None)
+
+        if halo:
+            # Personalized exchanges (all_to_all) of exactly the block rows
+            # each peer's projection rows reference — the VecScatter analog —
+            # instead of replicating the whole vector / cartesian field.
+            fwd_send, pc_cols_h, self.halo_fwd = _build_exchange(
+                pc_cols, n_padded // nb, Pn)
+            bak_send, bk_cols_h, self.halo_bak = _build_exchange(
+                bk_cols, ncart, Pn)
+            rsh3 = NamedSharding(dmesh, P(axis, None, None))
+            self._plan = (
+                jax.device_put(fwd_send, rsh3),
+                jax.device_put(pc_cols_h, rsh),
+                jax.device_put(bak_send, rsh3),
+                jax.device_put(bk_cols_h, rsh),
+            )
+
+            def local_apply(fwd_send, pc_cols_h, bak_send, bk_cols_h,
+                            pc_vals, bk_vals, ire, iim, *mats_and_r):
+                *mats, r_loc = mats_and_r
+                rc = r_loc.reshape(-1, nb)                      # local rows
+                send = rc[fwd_send[0]]                          # (Pn, H1, nb)
+                buf = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                                         concat_axis=0, tiled=True)
+                buf = buf.reshape(-1, nb)                       # (Pn*H1, nb)
+                r_cart = jnp.einsum("rk,rkm->rm", pc_vals, buf[pc_cols_h])
+                b_slab = r_cart.reshape(nz // Pn, ny, nx, nb)
+                x_slab = local_solve(b_slab, ire, iim, *mats)
+                xc = x_slab.reshape(-1, nb)                     # local slab
+                send2 = xc[bak_send[0]]                         # (Pn, H2, nb)
+                buf2 = jax.lax.all_to_all(send2, axis_name, split_axis=0,
+                                          concat_axis=0, tiled=True)
+                buf2 = buf2.reshape(-1, nb)                     # (Pn*H2, nb)
+                out = jnp.einsum("rk,rkm->rm", bk_vals, buf2[bk_cols_h])
+                return out.reshape(-1)
+
+            self._apply_sm = jax.shard_map(
+                local_apply,
+                mesh=dmesh,
+                in_specs=(P(axis, None, None), P(axis, None),
+                          P(axis, None, None), P(axis, None),
+                          P(axis, None), P(axis, None), y_spec, y_spec)
+                + (P(None, None),) * 12 + (P(axis),),
+                out_specs=P(axis),
+            )
+            self.apply = jax.tree_util.Partial(
+                self._apply_sm, *self._plan, self._P[1], self._Pb[1],
+                solver.inv_re, solver.inv_im, *solver._mats)
+            return
 
         def local_apply(pc_cols, pc_vals, bk_cols, bk_vals,
                         ire, iim, *mats_and_r):
@@ -293,7 +402,6 @@ class DistributedBlockCirculantPC:
             out = jnp.einsum("rk,rkm->rm", bk_vals, x_full[bk_cols])
             return out.reshape(-1)
 
-        y_spec = P(None, axis, None, None, None)
         self._apply_sm = jax.shard_map(
             local_apply,
             mesh=dmesh,
