@@ -80,6 +80,13 @@ class ShardedELLMatrix:
         are all-zero in ELL, so they stay zero and never pollute dots."""
         return self._spmv(self.cols, self.vals, x)
 
+    def matvec_partial(self) -> jax.tree_util.Partial:
+        """The operator as a Partial pytree: cols/vals enter jitted consumers
+        as runtime PARAMETERS. Required on multi-process meshes (global
+        arrays may not be closed over, only passed as arguments) and avoids
+        HLO-constant recompiles per matrix."""
+        return jax.tree_util.Partial(self._spmv, self.cols, self.vals)
+
     def __matmul__(self, x):
         return self.matvec(x)
 
@@ -179,6 +186,10 @@ class HaloELLMatrix:
 
     def matvec(self, x: jax.Array) -> jax.Array:
         return self._spmv(self.cols, self.vals, x)
+
+    def matvec_partial(self) -> jax.tree_util.Partial:
+        """See ShardedELLMatrix.matvec_partial."""
+        return jax.tree_util.Partial(self._spmv, self.cols, self.vals)
 
     def __matmul__(self, x):
         return self.matvec(x)

@@ -14,6 +14,7 @@ import numpy as np
 
 def main():
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    stage = sys.argv[4] if len(sys.argv) > 4 else "slab"
 
     from circulantpreconditioner_tpu.parallel.multihost import (
         gather_to_host0,
@@ -22,6 +23,8 @@ def main():
     )
 
     init_multihost(f"localhost:{port}", nprocs, pid, local_device_count=2)
+    if stage == "pcgmres":
+        return pcgmres_stage()
 
     import jax
     import jax.numpy as jnp
@@ -56,6 +59,82 @@ def main():
         err = np.abs(x0 - x_ref).max()
         assert err < 1e-12, f"multihost solve mismatch: {err}"
         print(f"OK process0 err={err:.3e}", flush=True)
+    jax.distributed.shutdown()
+
+
+def _implicit_op(spmv, x):
+    """(I + D)·x with the SpMV bound as a Partial leaf (jit argument)."""
+    return x + spmv(x)
+
+
+def pcgmres_stage():
+    """Preconditioned sharded GMRES across the 2-process cluster — the
+    mpiexec -n 2 analog of the reference's implicit MPI driver
+    (WaveSystem_SphericalExplosion_impl_mpi.cxx:32-34,139-189) composed with
+    the distributed two-level circulant PC (the reference's stated end-goal,
+    ToDo.md:1). Asserts iteration-count and solution parity against the
+    single-process two-level solve on process 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.parallel import HaloELLMatrix
+    from circulantpreconditioner_tpu.parallel.multihost import (
+        gather_to_host0,
+        global_device_mesh,
+    )
+    from circulantpreconditioner_tpu.parallel.pc_dist import (
+        DistributedBlockCirculantPC,
+        sharded_pbjacobi,
+    )
+    from circulantpreconditioner_tpu.solvers import make_gmres, preconditioners as pcs
+
+    mesh = global_device_mesh()  # 4 devices spanning 2 processes
+    km = kershaw_mesh(((0.0, 1.0),) * 3, (8, 8, 8))
+    model = WaveSystem(km, cfl=333.0, dtype=jnp.float64)
+    D = model.divergence
+    b = D.block_size
+    A = D.to_csr(jnp.float64)
+    U0 = np.asarray(model.initial_state())
+
+    Ah = HaloELLMatrix(A, mesh, row_multiple=b)
+    coarse = DistributedBlockCirculantPC(km, model.dt, model.c0, mesh,
+                                         Ah.n_padded, dtype=jnp.float64,
+                                         precision="highest")
+    Dinv = np.linalg.inv(np.asarray(D.block_diagonal()) + np.eye(b)[None, :, :])
+    M = pcs.additive(coarse.apply,
+                     sharded_pbjacobi(Dinv, Ah.n_padded, mesh, dtype=jnp.float64))
+    # Multi-process rule: global arrays may only enter jit as ARGUMENTS, so
+    # the operator and PC must be Partial pytrees, never closures.
+    Aop = jax.tree_util.Partial(_implicit_op, Ah.matvec_partial())
+    sol = make_gmres(Aop, M, rtol=1e-8, atol=1e-10, maxiter=500, side="right")
+    bb = Ah.shard_vector(U0)
+    res = sol(bb, bb)
+    import jax as _j
+    _j.block_until_ready(res.x)
+    iters_d = int(np.asarray(res.iters))
+    conv_d = bool(np.asarray(res.converged))
+    x0 = gather_to_host0(res.x)
+
+    if jax.process_index() == 0:
+        from circulantpreconditioner_tpu.solvers.circulant_pc import (
+            BlockCirculantProjectionPC,
+        )
+
+        coarse_l = BlockCirculantProjectionPC(km, model.dt, model.c0,
+                                              dtype=jnp.float64,
+                                              use_matmul_dft=False)
+        M_l = pcs.additive(coarse_l.apply, pcs.pbjacobi(D, shift=1.0))
+        sol_l = make_gmres(lambda x: x + A.matvec(x), M_l, rtol=1e-8,
+                           atol=1e-10, maxiter=500, side="right")
+        res_l = sol_l(jnp.asarray(U0), jnp.asarray(U0))
+        assert conv_d and bool(res_l.converged)
+        assert iters_d == int(res_l.iters), (iters_d, int(res_l.iters))
+        err = np.abs(x0[: A.shape[0]] - np.asarray(res_l.x)).max()
+        scale = np.abs(np.asarray(res_l.x)).max()
+        assert err < 1e-6 * scale, f"solution mismatch: {err} vs scale {scale}"
+        print(f"OK process0 pcgmres iters={iters_d} err={err:.3e}", flush=True)
     jax.distributed.shutdown()
 
 

@@ -143,3 +143,19 @@ def test_wave_explicit_driver_sharded_rows(tmp_path):
     res_1 = wave_explicit.main(["8", "8"] + _common(tmp_path, []))
     np.testing.assert_allclose(np.asarray(res_s.state), np.asarray(res_1.state),
                                rtol=1e-3, atol=1e-2)
+
+
+def test_wave_implicit_driver_sharded_circulant2l(tmp_path):
+    """Flagship composition at driver level: row-sharded GMRES with the
+    additive two-level distributed circulant PC on a 3D Kershaw mesh —
+    the preconditioned impl_mpi analog the reference was building toward
+    (ToDo.md:1 + WaveSystem_..._impl_mpi.cxx GMRES loop)."""
+    res = wave_implicit.main(
+        ["4", "4", "4", "--mesh-family", "kershaw", "--shard", "rows",
+         "--pc", "circulant2l", "--ntmax", "3"]
+        + _common(tmp_path, []))
+    state = np.asarray(res.state)
+    assert state.size == 4 * 4 * 4 * 4  # unsharded/unpadded (p + 3 velocities)
+    assert np.isfinite(state).all()
+    its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
+    assert its and max(its) < 1000  # GMRES converged within maxits each step

@@ -20,7 +20,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_slab_solve_and_gather():
+def _run_cluster(stage: str, timeout: int = 240):
     port = _free_port()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
@@ -31,7 +31,7 @@ def test_two_process_slab_solve_and_gather():
     env["JAX_ENABLE_X64"] = "1"
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port)],
+            [sys.executable, WORKER, str(pid), "2", str(port), stage],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)
@@ -39,7 +39,7 @@ def test_two_process_slab_solve_and_gather():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -48,3 +48,16 @@ def test_two_process_slab_solve_and_gather():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
     assert any("OK process0" in o for o in outs)
+    return outs
+
+
+def test_two_process_slab_solve_and_gather():
+    _run_cluster("slab")
+
+
+def test_two_process_preconditioned_gmres():
+    """GMRES + the distributed two-level circulant PC across 2 REAL
+    processes (mpiexec -n 2 analog, reference tests/CMakeLists.txt:67-74):
+    iteration count and solution must match the single-process solve."""
+    outs = _run_cluster("pcgmres", timeout=420)
+    assert any("pcgmres iters=" in o for o in outs)
