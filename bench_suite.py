@@ -250,12 +250,99 @@ def bench_wave_implicit(n_side=16):
             "gmres_iters": iters, "converged": converged}
 
 
+def bench_scale_distributed(n_side=32, devices=8):
+    """Scale experiment on the reference's mesh ladder (meshes/README.md:30-40):
+    Kershaw n³ implicit wave, row-sharded GMRES over `devices` virtual CPU
+    devices with the distributed two-level circulant PC (halo all_to_all
+    apply). Runs in a CPU subprocess so it never contends with the TPU
+    tunnel; records GMRES iterations, per-step time, and the PC halo widths."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-worker",
+         str(n_side), str(devices)],
+        env=env, capture_output=True, text=True, timeout=3000, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _scale_worker(n_side: int, devices: int):
+    import jax
+
+    # sitecustomize pre-imports jax with the axon platform captured; the env
+    # var alone is ignored (XLA_FLAGS device count still comes from the env,
+    # which the parent sets before spawn).
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.parallel import HaloELLMatrix, device_mesh
+    from circulantpreconditioner_tpu.parallel.pc_dist import (
+        DistributedBlockCirculantPC,
+        sharded_pbjacobi,
+    )
+    from circulantpreconditioner_tpu.solvers import make_gmres, preconditioners as pcs
+
+    print(f"scale: building kershaw {n_side}^3 ...", file=sys.stderr, flush=True)
+    mesh = kershaw_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+    dm = device_mesh(devices)
+    D = model.divergence
+    b = D.block_size
+    A = D.to_csr(jnp.float32)
+    Ah = HaloELLMatrix(A, dm, row_multiple=b)
+    print(f"scale: n={Ah.n} padded={Ah.n_padded} spmv_halo={Ah.halo}",
+          file=sys.stderr, flush=True)
+    coarse = DistributedBlockCirculantPC(mesh, model.dt, model.c0, dm,
+                                         Ah.n_padded, dtype=jnp.float32)
+    Dinv = np.linalg.inv(np.asarray(D.block_diagonal()) + np.eye(b)[None, :, :])
+    M = pcs.additive(coarse.apply,
+                     sharded_pbjacobi(Dinv, Ah.n_padded, dm, dtype=jnp.float32))
+    Aop = jax.tree_util.Partial(
+        lambda spmv, x: x + spmv(x), Ah.matvec_partial())
+    solver = make_gmres(Aop, M, rtol=1e-5, atol=1e-5, maxiter=1000, side="right")
+    U0 = Ah.shard_vector(np.asarray(model.initial_state()))
+
+    res = solver(U0, U0)
+    iters = int(np.asarray(res.iters))
+    converged = bool(np.asarray(res.converged))
+    print(f"scale: step-1 GMRES iters={iters} converged={converged}",
+          file=sys.stderr, flush=True)
+
+    @jax.jit
+    def run(u, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: solver(v, v).x, u)
+
+    np.asarray(jax.device_get(run(U0, 1)))  # compile + warm
+    import statistics as st
+    per = []
+    for K1, K2 in ((1, 3), (1, 3), (1, 3)):
+        t0 = time.perf_counter(); jax.block_until_ready(run(U0, K1)); t1 = time.perf_counter()
+        jax.block_until_ready(run(U0, K2)); t2 = time.perf_counter()
+        per.append(((t2 - t1) - (t1 - t0)) / (K2 - K1))
+    per_step = st.median(per)
+    print(json.dumps({
+        "metric": f"wave_implicit_dist_kershaw{n_side}_{devices}dev",
+        "value": round(per_step * 1e3, 1), "unit": "ms/step",
+        "gmres_iters": iters, "converged": converged,
+        "unknowns": int(A.shape[0]), "pc": "circulant2l (halo all_to_all)",
+        "pc_halo_fwd": int(coarse.halo_fwd), "pc_halo_bak": int(coarse.halo_bak),
+        "spmv_halo": int(Ah.halo), "device": f"cpu x{devices} (virtual)",
+    }), flush=True)
+
+
 _BENCHES = {
     "circulant": lambda: bench_circulant(),
     "spmv": lambda: bench_spmv(),
     "spmv_tet": lambda: bench_spmv_tet(),
     "wave_implicit": lambda: bench_wave_implicit(),
     "pc_iterations": lambda: bench_pc_iterations(),
+    "scale_distributed": lambda: bench_scale_distributed(),
 }
 
 
@@ -304,5 +391,8 @@ def main(out_path: str | None = None, only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None,
-         sys.argv[2].split(",") if len(sys.argv) > 2 else None)
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        _scale_worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else None,
+             sys.argv[2].split(",") if len(sys.argv) > 2 else None)

@@ -167,12 +167,23 @@ class ILU0Preconditioner:
     """ILU(0) with level-scheduled sparse triangular solves on device.
 
     Factorization is host-side preprocessing (like PETSc's PCSetUp); the
-    apply is a jittable sequence of per-level gather/scatter ops with static
-    shapes — rows within a level are independent, so each level is one
-    vectorized ELL-style dot; the level structure is baked into the trace.
+    apply is jittable — rows within a level are independent, so each level
+    is one vectorized ELL-style dot. Two apply schedules:
+
+    - "unrolled": one gather/scatter pair per level baked into the trace.
+      Fastest for small level counts, but trace and compile time grow like
+      nx+ny+nz on 3D meshes.
+    - "scan": all levels padded to one uniform (R, K) table and swept by a
+      single lax.scan — O(1) trace size regardless of mesh size (the
+      big-mesh path; padding overhead is ~2-3x the factor's memory, rows
+      are scattered into a sentinel slot).
+
+    schedule="auto" picks unrolled below _SCAN_THRESHOLD levels.
     """
 
-    def __init__(self, A: CSRMatrix, dtype=None):
+    _SCAN_THRESHOLD = 24
+
+    def __init__(self, A: CSRMatrix, dtype=None, schedule: str = "auto"):
         from circulantpreconditioner_tpu.native import ilu0_factor, level_schedule
 
         indptr = np.asarray(A.indptr)
@@ -226,20 +237,77 @@ class ILU0Preconditioner:
         self._upper_levels = build_tri(False)
         self._dinv = jnp.asarray(1.0 / f[diag_pos], dtype=dtype)
         self.n_levels = (len(self._lower_levels), len(self._upper_levels))
+        if schedule == "auto":
+            schedule = ("scan" if max(self.n_levels) > self._SCAN_THRESHOLD
+                        else "unrolled")
+        if schedule not in ("unrolled", "scan"):
+            raise ValueError(f"schedule must be auto|unrolled|scan, got {schedule}")
+        self.schedule = schedule
+        if schedule == "scan":
+            self._lower_stack = _stack_levels(self._lower_levels, n)
+            self._upper_stack = _stack_levels(self._upper_levels, n)
 
     def apply(self, r: jax.Array) -> jax.Array:
         """x = U⁻¹ L⁻¹ r (unit-diagonal L)."""
-        return _ilu_apply(tuple(self._lower_levels), tuple(self._upper_levels),
-                          self._dinv, r)
+        return self.apply_partial()(r)
 
     def apply_partial(self) -> jax.tree_util.Partial:
         """Pytree-callable apply (factor arrays as runtime parameters)."""
+        if self.schedule == "scan":
+            return jax.tree_util.Partial(
+                _ilu_apply_scan, self._lower_stack, self._upper_stack, self._dinv)
         return jax.tree_util.Partial(
             _ilu_apply, tuple(self._lower_levels), tuple(self._upper_levels), self._dinv
         )
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
+
+
+def _stack_levels(levels, n: int):
+    """Pad per-level (rows, cols, vals) tables to one uniform (nlev, R, K)
+    stack for lax.scan. Padding rows scatter into a sentinel slot at index n
+    (the working vector is extended by one); padding cols read slot 0 with
+    zero vals, contributing nothing."""
+    R = max(lv[0].shape[0] for lv in levels)
+    K = max(lv[1].shape[1] for lv in levels)
+    nlev = len(levels)
+    rows = np.full((nlev, R), n, dtype=np.int32)
+    cols = np.zeros((nlev, R, K), dtype=np.int32)
+    vals = np.zeros((nlev, R, K), dtype=np.asarray(levels[0][2]).dtype)
+    for l, (r_, c_, v_) in enumerate(levels):
+        m, k = c_.shape
+        rows[l, :m] = np.asarray(r_)
+        cols[l, :m, :k] = np.asarray(c_)
+        vals[l, :m, :k] = np.asarray(v_)
+    return jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)
+
+
+def _ilu_apply_scan(lower_stack, upper_stack, dinv, r):
+    """Scan-scheduled x = U⁻¹ L⁻¹ r: one lax.scan per triangle over the
+    uniform-padded level stacks — O(1) trace size in the level count."""
+    from jax import lax
+
+    n = r.shape[0]
+    zero = jnp.zeros((1,), r.dtype)
+    rs = jnp.concatenate([r, zero])            # sentinel slot at index n
+
+    def lower_body(y, lev):
+        rows, cols, vals = lev
+        acc = jnp.sum(vals * y[cols], axis=1)
+        return y.at[rows].set(rs[rows] - acc), None
+
+    y, _ = lax.scan(lower_body, rs, lower_stack)
+    ys = y
+    dinv_s = jnp.concatenate([dinv, jnp.ones((1,), dinv.dtype)])
+
+    def upper_body(x, lev):
+        rows, cols, vals = lev
+        acc = jnp.sum(vals * x[cols], axis=1)
+        return x.at[rows].set((ys[rows] - acc) * dinv_s[rows]), None
+
+    x, _ = lax.scan(upper_body, y, upper_stack)
+    return x[:n]
 
 
 def _ilu_apply(lower_levels, upper_levels, dinv, r):
@@ -256,8 +324,8 @@ def _ilu_apply(lower_levels, upper_levels, dinv, r):
     return x
 
 
-def ilu0(A: CSRMatrix) -> ILU0Preconditioner:
-    return ILU0Preconditioner(A)
+def ilu0(A: CSRMatrix, schedule: str = "auto") -> ILU0Preconditioner:
+    return ILU0Preconditioner(A, schedule=schedule)
 
 
 def block_jacobi_ilu0(A: CSRMatrix, n_blocks: int) -> Callable[[jax.Array], jax.Array]:
