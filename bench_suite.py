@@ -207,7 +207,7 @@ def bench_pc_iterations(sides=(8, 16, 24)):
             "unit": "iterations"}
 
 
-def bench_wave_implicit(n_side=16):
+def bench_wave_implicit(n_side=16, pc="dct2l"):
     import jax.numpy as jnp
 
     from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
@@ -217,9 +217,13 @@ def bench_wave_implicit(n_side=16):
 
     mesh = kershaw_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
     model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
-    from circulantpreconditioner_tpu.solvers.circulant_pc import BlockCirculantProjectionPC
+    from circulantpreconditioner_tpu.solvers.circulant_pc import (
+        BlockCirculantProjectionPC,
+        DCTBlockProjectionPC,
+    )
 
-    coarse = BlockCirculantProjectionPC(mesh, model.dt, model.c0, dtype=jnp.float32)
+    cls = DCTBlockProjectionPC if pc == "dct2l" else BlockCirculantProjectionPC
+    coarse = cls(mesh, model.dt, model.c0, dtype=jnp.float32)
     M = pcs.additive(coarse.apply, pcs.pbjacobi(model.divergence, shift=1.0))
     step = model.implicit_stepper(M=M, rtol=1e-5, atol=1e-5, maxiter=1000,
                                   side="right")
@@ -246,8 +250,18 @@ def bench_wave_implicit(n_side=16):
         totals.append(time.perf_counter() - t0)
     per_step = min(totals) / 30
     return {"metric": f"wave_implicit_step_ms_kershaw{n_side}",
-            "value": round(per_step * 1e3, 2), "unit": "ms/step",
+            "value": round(per_step * 1e3, 2), "unit": "ms/step", "pc": pc,
             "gmres_iters": iters, "converged": converged}
+
+
+def bench_wave_implicit_both(n_side=16):
+    """Time both two-level PCs; headline = the faster (wall-BC DCT/DST),
+    the periodic circulant recorded alongside for traceability."""
+    rec = bench_wave_implicit(n_side, pc="dct2l")
+    alt = bench_wave_implicit(n_side, pc="circulant2l")
+    rec["circulant2l_ms_per_step"] = alt["value"]
+    rec["circulant2l_gmres_iters"] = alt["gmres_iters"]
+    return rec
 
 
 def bench_scale_distributed(n_side=32, devices=8):
@@ -340,7 +354,7 @@ _BENCHES = {
     "circulant": lambda: bench_circulant(),
     "spmv": lambda: bench_spmv(),
     "spmv_tet": lambda: bench_spmv_tet(),
-    "wave_implicit": lambda: bench_wave_implicit(),
+    "wave_implicit": lambda: bench_wave_implicit_both(),
     "pc_iterations": lambda: bench_pc_iterations(),
     "scale_distributed": lambda: bench_scale_distributed(),
 }
