@@ -106,8 +106,11 @@ def bench_spmv(n_side=32):
     model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
     A = model.divergence.to_csr(jnp.float32)
     nnz = A.nnz
-    D = model.divergence_op()  # auto → gather-free varying stencil on Kershaw
-    x0 = jnp.asarray(np.random.default_rng(0).random(A.shape[0]).astype(np.float32))
+    # field-major gather-free stencil — the explicit driver's production
+    # path (the cell-major form pays (N,m)<->(m,N) relayouts per apply)
+    D = model.divergence_op_fm()
+    x_cm = np.random.default_rng(0).random(A.shape[0]).astype(np.float32)
+    x0 = model.pack_fm(x_cm)
 
     @jax.jit
     def run(x, K):
@@ -122,7 +125,7 @@ def bench_spmv(n_side=32):
     per = _dev_time(run, x0, K1=50, K2=250)
 
     As = A.to_scipy()
-    xv = np.asarray(x0)
+    xv = x_cm
     As @ xv
     t0 = time.perf_counter()
     for _ in range(20):
@@ -353,6 +356,7 @@ def _scale_worker(n_side: int, devices: int):
 _BENCHES = {
     "circulant": lambda: bench_circulant(),
     "spmv": lambda: bench_spmv(),
+    "spmv64": lambda: bench_spmv(64),
     "spmv_tet": lambda: bench_spmv_tet(),
     "wave_implicit": lambda: bench_wave_implicit_both(),
     "pc_iterations": lambda: bench_pc_iterations(),

@@ -35,13 +35,29 @@ def main(argv=None):
     if args.shard != "none":
         return _main_sharded(args, mesh, model, dtype)
 
-    step = model.explicit_stepper()
-    res = run_time_loop(
-        step, model.initial_state(), model.dt, tmax=args.tmax, ntmax=args.ntmax,
-        precision=args.precision, output_freq=args.output_freq,
-        chunk=chunk_of(args),
-        on_output=make_output_cb(args, mesh, split=model.split_fields, prefix="wave"),
-    )
+    # field-major loop when the mesh has a gather-free stencil form: the
+    # (N,m)<->(m,N) relayouts otherwise dominate every matvec (see
+    # WaveNormalStencilOperator.matvec_fm); convert only at I/O boundaries.
+    step_fm = model.explicit_stepper_fm()
+    cb = make_output_cb(args, mesh, split=model.split_fields, prefix="wave")
+    if step_fm is not None:
+        print("-- field-major stencil loop")
+        res = run_time_loop(
+            step_fm, model.pack_fm(model.initial_state()), model.dt,
+            tmax=args.tmax, ntmax=args.ntmax,
+            precision=args.precision, output_freq=args.output_freq,
+            chunk=chunk_of(args),
+            on_output=lambda it, t, G, ex: cb(it, t, model.unpack_fm(G), ex),
+        )
+        res.state = model.unpack_fm(res.state)
+    else:
+        step = model.explicit_stepper()
+        res = run_time_loop(
+            step, model.initial_state(), model.dt, tmax=args.tmax, ntmax=args.ntmax,
+            precision=args.precision, output_freq=args.output_freq,
+            chunk=chunk_of(args),
+            on_output=cb,
+        )
     pfin, vfin = model.split_fields(res.state)
     print(f"\nEnd at it={res.iterations} t={res.time:.6g} stationary={res.stationary}")
     print(f"pressure range [{pfin.min():.6g}, {pfin.max():.6g}]")

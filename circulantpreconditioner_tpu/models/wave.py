@@ -168,10 +168,56 @@ class WaveSystem:
         shape_zyx = tuple(reversed(self.mesh.structured_shape))
         return BlockCirculantOperator.from_stencil(shape_zyx, offsets, blocks, dtype=self.dtype)
 
+    def divergence_op_fm(self, operator: str = "auto"):
+        """Field-major D: input/output (dim+1, nC). Available for the
+        gather-free stencil forms (flat/grid_last layouts); None otherwise.
+        The (N,m)↔(m,N) relayouts inside the cell-major `matvec` cost more
+        than the stencil body itself on TPU (940 → 203 µs/apply at Kershaw
+        64³ on one v5e), so loops that can keep the state field-major
+        should."""
+        from circulantpreconditioner_tpu.ops.stencil import (
+            VaryingStencilOperator,
+            WaveNormalStencilOperator,
+        )
+
+        if operator == "auto":
+            operator = ("varying" if getattr(self.mesh, "topology_shape", None)
+                        is not None else "matrix")
+        if operator not in ("varying", "normal"):
+            return None
+        V = VaryingStencilOperator.from_bsr(
+            self.divergence, self.mesh.topology_shape,
+            cells_per_site=getattr(self.mesh, "cells_per_site", 1))  # type: ignore[attr-defined]
+        if V.layout not in ("flat", "grid_last"):
+            return None
+        if getattr(self.mesh, "cells_per_site", 1) == 1:
+            Wn = WaveNormalStencilOperator.from_varying(V, self.c0)
+            if Wn is not None:
+                return Wn.matvec_fm_partial()
+        return V.matvec_fm_partial()
+
+    def pack_fm(self, U) -> jax.Array:
+        """Flat cell-major state → field-major (dim+1, nC) device array."""
+        return jnp.asarray(np.asarray(U).reshape(-1, self.nb).T.copy(),
+                           dtype=self.dtype)
+
+    def unpack_fm(self, G) -> np.ndarray:
+        """Field-major (dim+1, nC) → flat cell-major host array."""
+        return np.asarray(G).T.reshape(-1)
+
     # --- steppers -----------------------------------------------------------
     def explicit_stepper(self, operator: str = "auto"):
         D = self.divergence_op(operator)
         return lambda U: _explicit_step_impl(D, U)
+
+    def explicit_stepper_fm(self, operator: str = "auto"):
+        """Field-major explicit stepper, or None when the mesh has no
+        gather-free stencil form. State is (dim+1, nC); use pack_fm /
+        unpack_fm at the I/O boundaries."""
+        D = self.divergence_op_fm(operator)
+        if D is None:
+            return None
+        return lambda G: _explicit_step_impl(D, G)
 
     def implicit_matvec(self, operator: str = "auto"):
         """A = I + D as a pytree-callable (runtime-parameter operator)."""

@@ -74,8 +74,24 @@ def _rdft_mats(n: int, dtype):
     return tuple(jnp.asarray(m, dtype=dtype) for m in _np_rdft_mats(n))
 
 
-def _axis_cdft(re, im, C, S, axis, ndim, precision):
-    """Complex DFT along `axis` by matmul: (re+i·im) ← (re+i·im)·(C+i·S)."""
+def _axis_cdft(re, im, C, S, axis, ndim, precision, kernel=False):
+    """Complex DFT along `axis` by matmul: (re+i·im) ← (re+i·im)·(C+i·S).
+
+    kernel=True routes through the single-pass Pallas complex_matmul (reads
+    each LHS tile once for all four MXU contractions, accumulators in VMEM)
+    when the 2D-collapsed shapes tile by 128; it computes f32 dots, i.e. the
+    "highest" tier. Falls back to the einsum form otherwise."""
+    if kernel:
+        from circulantpreconditioner_tpu.ops.pallas_kernels import complex_matmul
+
+        n = re.shape[axis]
+        rm = jnp.moveaxis(re, axis, -1)
+        im_m = jnp.moveaxis(im, axis, -1)
+        lead = rm.shape[:-1]
+        o_re, o_im = complex_matmul(rm.reshape(-1, n), im_m.reshape(-1, n), C, S)
+        k = o_re.shape[-1]
+        return (jnp.moveaxis(o_re.reshape(lead + (k,)), -1, axis),
+                jnp.moveaxis(o_im.reshape(lead + (k,)), -1, axis))
     sub = "zyx"[3 - ndim:]
     a = sub[axis]
     spec = f"{sub},{a}k->{sub.replace(a, 'k')}"
@@ -105,18 +121,26 @@ class MatmulCirculantSolver:
     # all. Axes with λ=0 may be elided EXACTLY: Λ is independent of their
     # frequencies so F⁻¹·diag(Λ)·F cancels on them (ops/spectral_collapse.py)
     axes: tuple[int, ...] | None = None
+    # route the complex y/z DFT stages through the Pallas complex_matmul
+    # kernel (single LHS pass for all 4 MXU contractions). Only meaningful
+    # at 128-multiple grid sides (the kernel falls back to einsum otherwise)
+    # and forces f32 dots ("highest"-tier numerics) on those stages.
+    use_kernel: bool = False
 
     def tree_flatten(self):
-        return (self.arrays,), (self.shape_zyx, self.precision, self.axes)
+        return (self.arrays,), (self.shape_zyx, self.precision, self.axes,
+                                self.use_kernel)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (arrays,) = children
-        return cls(aux[0], arrays, aux[1], aux[2] if len(aux) > 2 else None)
+        return cls(aux[0], arrays, aux[1], aux[2] if len(aux) > 2 else None,
+                   aux[3] if len(aux) > 3 else False)
 
     @classmethod
     def create(cls, shape_zyx: Sequence[int], lambdas_zyx: Sequence[float], dtype=jnp.float32,
-               precision: str = "highest", elide_zero_axes: bool = False):
+               precision: str = "highest", elide_zero_axes: bool = False,
+               use_kernel: bool = False):
         shape_zyx = tuple(int(v) for v in shape_zyx)
         lam = np_eigenvalue_diagonal(shape_zyx, lambdas_zyx, rfft=True)
         den = (lam.real**2 + lam.imag**2)
@@ -132,7 +156,7 @@ class MatmulCirculantSolver:
             mats.append(_dft_mats(n, dtype))
             axes.append(i)
         return cls(shape_zyx, (inv_re, inv_im, F_re, F_im, B_re, B_im, tuple(mats)),
-                   precision, tuple(axes))
+                   precision, tuple(axes), use_kernel)
 
     @classmethod
     def from_operator(cls, op: CirculantTransportOperator, precision: str = "highest"):
@@ -155,12 +179,14 @@ class MatmulCirculantSolver:
         axes = self.axes if self.axes is not None else tuple(range(len(mats)))
         # forward full transforms along remaining axes (z, y)
         for ax_i, (C, S, _, _) in zip(axes, mats):
-            re, im = _axis_cdft(re, im, C, S, ax_i, ndim, prec)
+            re, im = _axis_cdft(re, im, C, S, ax_i, ndim, prec,
+                                kernel=self.use_kernel)
         # multiply by precomputed 1/Λ
         re, im = re * inv_re - im * inv_im, re * inv_im + im * inv_re
         # inverse transforms along z, y
         for ax_i, (_, _, Ci, Si) in zip(axes, mats):
-            re, im = _axis_cdft(re, im, Ci, Si, ax_i, ndim, prec)
+            re, im = _axis_cdft(re, im, Ci, Si, ax_i, ndim, prec,
+                                kernel=self.use_kernel)
         # inverse half-spectrum transform back to real along x
         spec_b = f"{sub[:-1]}k,kx->{sub}"
         x = jnp.einsum(spec_b, re, B_re, preferred_element_type=g.dtype, precision=prec) + \

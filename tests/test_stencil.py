@@ -202,3 +202,65 @@ def test_supercell_stencil_tet_mesh_matches_assembled():
     x2 = rng.random(m2.n_cells)
     np.testing.assert_allclose(np.asarray(t2.divergence_op()(jnp.asarray(x2))),
                                np.asarray(t2.divergence.matvec(jnp.asarray(x2))), atol=1e-14)
+
+
+def test_field_major_matvec_matches_cell_major():
+    """matvec_fm (field-major (m,N) in/out, no relayouts) == matvec for the
+    varying and normal-form stencils, flat and grid_last layouts."""
+    import numpy as np
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.ops.stencil import (
+        VaryingStencilOperator,
+        WaveNormalStencilOperator,
+    )
+
+    m = kershaw_mesh(((0.0, 1.0),) * 3, (4, 3, 5))
+    model = WaveSystem(m, cfl=50.0, dtype=jnp.float64)
+    V = VaryingStencilOperator.from_bsr(model.divergence, m.topology_shape)
+    assert V.layout == "flat"
+    Wn = WaveNormalStencilOperator.from_varying(V, model.c0)
+    rng = np.random.default_rng(0)
+    x = rng.random(m.n_cells * 4)
+    g = jnp.asarray(x.reshape(-1, 4).T.copy())
+    for op in (V, Wn):
+        y_cm = np.asarray(op.matvec(jnp.asarray(x)))
+        y_fm = np.asarray(op.matvec_fm(g)).T.reshape(-1)
+        np.testing.assert_allclose(y_fm, y_cm, atol=1e-13)
+
+    # grid_last layout (periodic wrap)
+    m2 = kershaw_mesh(((0.0, 1.0),) * 3, (4, 4, 4))
+    m2.set_periodic()
+    from circulantpreconditioner_tpu.models import TransportEquation
+
+    t2 = TransportEquation(m2, velocity=[1.0, 0.5, -0.2], cfl=3.0, dtype=jnp.float64)
+    V2 = VaryingStencilOperator.from_csr(t2.divergence, m2.topology_shape)
+    assert V2.layout == "grid_last"
+    x2 = rng.random(m2.n_cells)
+    g2 = jnp.asarray(x2.reshape(m2.topology_shape[::-1])[None])  # (1, *grid)
+    y2_cm = np.asarray(V2.matvec(jnp.asarray(x2)))
+    y2_fm = np.asarray(V2.matvec_fm(g2))[0].reshape(-1)
+    np.testing.assert_allclose(y2_fm, y2_cm, atol=1e-13)
+
+
+def test_explicit_stepper_field_major_matches():
+    """The field-major explicit wave stepper gives the same trajectory as
+    the cell-major one (the driver's fast path)."""
+    import numpy as np
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+
+    m = kershaw_mesh(((0.0, 1.0),) * 3, (4, 4, 4))
+    model = WaveSystem(m, cfl=0.5, dtype=jnp.float64)
+    step = model.explicit_stepper()
+    step_fm = model.explicit_stepper_fm()
+    assert step_fm is not None
+    U = model.initial_state()
+    G = model.pack_fm(U)
+    for _ in range(3):
+        U, dn = step(U)
+        G, dn_fm = step_fm(G)
+    np.testing.assert_allclose(model.unpack_fm(G), np.asarray(U), atol=1e-9)
+    assert abs(float(dn) - float(dn_fm)) < 1e-9 * max(float(dn), 1.0)
