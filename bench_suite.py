@@ -197,6 +197,7 @@ def bench_pc_iterations(sides=(8, 16, 24)):
             "pbjacobi": pj,
             "circulant2l": pcs.additive(coarse.apply, pj),
             "dct2l": pcs.additive(dct.apply, pj),
+            "dct2lm": pcs.multiplicative(model.implicit_matvec(), dct.apply, pj),
         }
         row = {}
         for name, M in pcs_by_name.items():
@@ -225,12 +226,21 @@ def bench_wave_implicit(n_side=16, pc="dct2l"):
         DCTBlockProjectionPC,
     )
 
-    cls = DCTBlockProjectionPC if pc == "dct2l" else BlockCirculantProjectionPC
+    cls = BlockCirculantProjectionPC if pc == "circulant2l" else DCTBlockProjectionPC
     coarse = cls(mesh, model.dt, model.c0, dtype=jnp.float32)
-    M = pcs.additive(coarse.apply, pcs.pbjacobi(model.divergence, shift=1.0))
-    step = model.implicit_stepper(M=M, rtol=1e-5, atol=1e-5, maxiter=1000,
-                                  side="right")
-    U = model.initial_state()
+    # field-major loop: fm matvec (no relayouts) + fm pbjacobi + the coarse
+    # PC behind a single relayout-pair adapter
+    pj_fm = pcs.pbjacobi_fm(model.divergence, shift=1.0)
+    if pc == "dct2lm":
+        M_cm, M_fm = None, pcs.multiplicative(
+            model.implicit_matvec_fm(),
+            pcs.cell_major_adapter(coarse.apply, model.nb), pj_fm)
+    else:
+        M_cm, M_fm = coarse.apply, pj_fm
+    step = model.implicit_stepper_fm(
+        M_cm=M_cm, M_fm=M_fm,
+        rtol=1e-5, atol=1e-5, maxiter=1000, side="right")
+    U = model.pack_fm(model.initial_state()).reshape(-1)
     out = retry_transient(lambda: step(U))
     np.asarray(out[0])
     iters = int(np.asarray(out[2]))
@@ -258,12 +268,13 @@ def bench_wave_implicit(n_side=16, pc="dct2l"):
 
 
 def bench_wave_implicit_both(n_side=16):
-    """Time both two-level PCs; headline = the faster (wall-BC DCT/DST),
-    the periodic circulant recorded alongside for traceability."""
-    rec = bench_wave_implicit(n_side, pc="dct2l")
-    alt = bench_wave_implicit(n_side, pc="circulant2l")
-    rec["circulant2l_ms_per_step"] = alt["value"]
-    rec["circulant2l_gmres_iters"] = alt["gmres_iters"]
+    """Time the two-level PC variants; headline = the multiplicative
+    wall-BC DCT/DST cycle, the others recorded alongside for traceability."""
+    rec = bench_wave_implicit(n_side, pc="dct2lm")
+    for alt_pc in ("dct2l", "circulant2l"):
+        alt = bench_wave_implicit(n_side, pc=alt_pc)
+        rec[f"{alt_pc}_ms_per_step"] = alt["value"]
+        rec[f"{alt_pc}_gmres_iters"] = alt["gmres_iters"]
     return rec
 
 

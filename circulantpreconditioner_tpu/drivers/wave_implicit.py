@@ -22,7 +22,7 @@ from circulantpreconditioner_tpu.solvers import preconditioners as pcs
 def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--pc", choices=["none", "pbjacobi", "ilu0", "bjacobi", "blockfft",
-                                    "circulant2l", "dct2l"], default="ilu0")
+                                    "circulant2l", "dct2l", "dct2lm"], default="ilu0")
     p.add_argument("--n-blocks", type=int, default=4, help="bjacobi partition count")
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--atol", type=float, default=1e-5)
@@ -42,6 +42,7 @@ def main(argv=None):
 
     M = None
     side = "left"
+    fm = False  # field-major loop (no per-matvec relayouts) when available
     if args.pc == "blockfft":
         # direct block-circulant solve replaces GMRES entirely
         step = model.block_fft_stepper()
@@ -66,21 +67,44 @@ def main(argv=None):
                 (sp.eye(model.divergence.shape[0])
                  + model.divergence.to_csr(dtype).to_scipy()).tocsr(), dtype=dtype)
             M = pcs.block_jacobi_ilu0(A_I, args.n_blocks)
-        elif args.pc in ("circulant2l", "dct2l"):
+        elif args.pc in ("circulant2l", "dct2l", "dct2lm"):
             from circulantpreconditioner_tpu.solvers.circulant_pc import (
                 BlockCirculantProjectionPC,
                 DCTBlockProjectionPC,
             )
 
-            cls = DCTBlockProjectionPC if args.pc == "dct2l" else BlockCirculantProjectionPC
+            cls = BlockCirculantProjectionPC if args.pc == "circulant2l" else DCTBlockProjectionPC
             coarse = cls(mesh, model.dt, model.c0, dtype=dtype)
-            M = pcs.additive(coarse.apply, pcs.pbjacobi(model.divergence, shift=1.0))
+            pj = pcs.pbjacobi(model.divergence, shift=1.0)
+            if args.pc == "dct2lm":
+                M = pcs.multiplicative(model.implicit_matvec(), coarse.apply, pj)
+            else:
+                M = pcs.additive(coarse.apply, pj)
             side = "right"
-        step = model.implicit_stepper(M=M, rtol=args.rtol, atol=args.atol,
-                                      maxiter=args.maxits, side=side)
+        step = None
+        if args.pc in ("none", "pbjacobi", "circulant2l", "dct2l", "dct2lm"):
+            A_fm = model.implicit_matvec_fm()
+            M_fm = (pcs.pbjacobi_fm(model.divergence, shift=1.0)
+                    if args.pc != "none" else None)
+            M_cm = None
+            if args.pc == "dct2lm" and A_fm is not None:
+                M_fm = pcs.multiplicative(
+                    A_fm, pcs.cell_major_adapter(coarse.apply, model.nb), M_fm)
+            elif args.pc in ("circulant2l", "dct2l"):
+                M_cm = coarse.apply
+            step = model.implicit_stepper_fm(
+                M_cm=M_cm, M_fm=M_fm, rtol=args.rtol, atol=args.atol,
+                maxiter=args.maxits, side=side)
+            fm = step is not None
+        if step is None:
+            step = model.implicit_stepper(M=M, rtol=args.rtol, atol=args.atol,
+                                          maxiter=args.maxits, side=side)
 
     U0 = model.initial_state()
-    unshard = None
+    if fm:
+        print("-- field-major GMRES loop")
+        U0 = model.pack_fm(U0).reshape(-1)
+    unshard = model.unpack_fm if fm else None
 
     cb = make_output_cb(args, mesh, split=model.split_fields, prefix="wave")
     on_out = cb if unshard is None else (

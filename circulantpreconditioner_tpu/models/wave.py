@@ -168,13 +168,15 @@ class WaveSystem:
         shape_zyx = tuple(reversed(self.mesh.structured_shape))
         return BlockCirculantOperator.from_stencil(shape_zyx, offsets, blocks, dtype=self.dtype)
 
-    def divergence_op_fm(self, operator: str = "auto"):
-        """Field-major D: input/output (dim+1, nC). Available for the
+    def divergence_op_fm(self, operator: str = "auto", flat: bool = False):
+        """Field-major D: input/output (dim+1, nC) — or flat (dim+1)·nC
+        vectors with flat=True (for Krylov solvers). Available for the
         gather-free stencil forms (flat/grid_last layouts); None otherwise.
         The (N,m)↔(m,N) relayouts inside the cell-major `matvec` cost more
         than the stencil body itself on TPU (940 → 203 µs/apply at Kershaw
         64³ on one v5e), so loops that can keep the state field-major
-        should."""
+        should. On TPU the plane-blocked Pallas kernel is preferred when
+        the operator fits its contract (another 1.66×, ops/pallas_stencil)."""
         from circulantpreconditioner_tpu.ops.stencil import (
             VaryingStencilOperator,
             WaveNormalStencilOperator,
@@ -193,8 +195,17 @@ class WaveSystem:
         if getattr(self.mesh, "cells_per_site", 1) == 1:
             Wn = WaveNormalStencilOperator.from_varying(V, self.c0)
             if Wn is not None:
-                return Wn.matvec_fm_partial()
-        return V.matvec_fm_partial()
+                if jax.default_backend() in ("tpu", "axon"):
+                    from circulantpreconditioner_tpu.ops.pallas_stencil import (
+                        make_plane_stencil_matvec,
+                    )
+
+                    mv = make_plane_stencil_matvec(Wn)
+                    if mv is not None:
+                        return mv  # shape-agnostic: (m,N)/grid/flat
+                return (Wn.matvec_fm_flat_partial() if flat
+                        else Wn.matvec_fm_partial())
+        return V.matvec_fm_flat_partial() if flat else V.matvec_fm_partial()
 
     def pack_fm(self, U) -> jax.Array:
         """Flat cell-major state → field-major (dim+1, nC) device array."""
@@ -202,8 +213,8 @@ class WaveSystem:
                            dtype=self.dtype)
 
     def unpack_fm(self, G) -> np.ndarray:
-        """Field-major (dim+1, nC) → flat cell-major host array."""
-        return np.asarray(G).T.reshape(-1)
+        """Field-major (dim+1, nC) or flat (dim+1)·nC → flat cell-major."""
+        return np.asarray(G).reshape(self.nb, -1).T.reshape(-1)
 
     # --- steppers -----------------------------------------------------------
     def explicit_stepper(self, operator: str = "auto"):
@@ -233,6 +244,45 @@ class WaveSystem:
         def step(U):
             res = solver(U, U)
             return res.x, _dnorm_impl(res.x, U), res.iters, res.resnorm, res.converged
+
+        return step
+
+    def implicit_matvec_fm(self, operator: str = "auto"):
+        """I + D on FIELD-MAJOR flat vectors, or None when the mesh has no
+        gather-free stencil form. The matvec pays no (N,m)↔(m,N) relayouts
+        (see divergence_op_fm)."""
+        D = self.divergence_op_fm(operator, flat=True)
+        if D is None:
+            return None
+        return jax.tree_util.Partial(_identity_plus, D)
+
+    def implicit_stepper_fm(self, M_cm=None, M_fm=None, rtol: float = 1e-5,
+                            atol: float = 1e-5, maxiter: int = 1000,
+                            restart: int = 30, side: str = "left",
+                            operator: str = "auto"):
+        """Field-major GMRES implicit stepper (state = flat field-major
+        vectors, x.reshape(dim+1, nC) is the field view), or None when no
+        gather-free stencil form exists. M_cm: a cell-major preconditioner
+        apply (Partial), wrapped with ONE relayout pair per apply — versus
+        one pair per MATVEC in the cell-major stepper. M_fm: an already
+        field-major apply (e.g. pcs.pbjacobi_fm); both given = additive."""
+        from circulantpreconditioner_tpu.solvers import preconditioners as pcs
+
+        A = self.implicit_matvec_fm(operator)
+        if A is None:
+            return None
+        terms = []
+        if M_cm is not None:
+            terms.append(pcs.cell_major_adapter(M_cm, self.nb))
+        if M_fm is not None:
+            terms.append(M_fm)
+        M = pcs.additive(*terms) if len(terms) > 1 else (terms[0] if terms else None)
+        solver = make_gmres(A, M, restart=restart, rtol=rtol, atol=atol,
+                            maxiter=maxiter, side=side)
+
+        def step(G):
+            res = solver(G, G)
+            return res.x, _dnorm_impl(res.x, G), res.iters, res.resnorm, res.converged
 
         return step
 

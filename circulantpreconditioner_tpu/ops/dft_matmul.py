@@ -77,10 +77,13 @@ def _rdft_mats(n: int, dtype):
 def _axis_cdft(re, im, C, S, axis, ndim, precision, kernel=False):
     """Complex DFT along `axis` by matmul: (re+i·im) ← (re+i·im)·(C+i·S).
 
-    kernel=True routes through the single-pass Pallas complex_matmul (reads
-    each LHS tile once for all four MXU contractions, accumulators in VMEM)
-    when the 2D-collapsed shapes tile by 128; it computes f32 dots, i.e. the
-    "highest" tier. Falls back to the einsum form otherwise."""
+    kernel=True routes through the Pallas complex_matmul when the
+    2D-collapsed shapes tile by 128. MEASURED AND RETIRED as a default
+    (kept for reproduction): at 128³ on v5e the kernel solves in 164.8 µs
+    at rel. residual 4.5e-3 (Mosaic's dot is single-pass bf16), which the
+    plain einsum dominates on both axes — "high" tier 106 µs @ ~1e-4,
+    "default" tier 36.8 µs @ 6e-2. The 4-dots-in-one-pass LHS saving does
+    not beat XLA's scheduling at these shapes; see PROFILE.md."""
     if kernel:
         from circulantpreconditioner_tpu.ops.pallas_kernels import complex_matmul
 
@@ -122,9 +125,9 @@ class MatmulCirculantSolver:
     # frequencies so F⁻¹·diag(Λ)·F cancels on them (ops/spectral_collapse.py)
     axes: tuple[int, ...] | None = None
     # route the complex y/z DFT stages through the Pallas complex_matmul
-    # kernel (single LHS pass for all 4 MXU contractions). Only meaningful
-    # at 128-multiple grid sides (the kernel falls back to einsum otherwise)
-    # and forces f32 dots ("highest"-tier numerics) on those stages.
+    # kernel. RETIRED as a production path — measured strictly dominated by
+    # the einsum tiers at 128³ (see _axis_cdft docstring / PROFILE.md);
+    # kept as a reproducible experiment switch.
     use_kernel: bool = False
 
     def tree_flatten(self):

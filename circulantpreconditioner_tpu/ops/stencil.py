@@ -411,11 +411,23 @@ class VaryingStencilOperator:
     def __call__(self, x):
         return self.matvec(x)
 
+    @jax.jit
+    def matvec_fm_flat(self, x: jax.Array) -> jax.Array:
+        """Field-major apply on a FLAT (m·N,) vector (x.reshape(m, ...) is
+        the field view) — for Krylov solvers whose vectors are 1D."""
+        m = self.m
+        shp = ((m, -1) if self.layout == "flat"
+               else (m,) + self.shape_zyx)
+        return self.matvec_fm(x.reshape(shp)).reshape(-1)
+
     def matvec_partial(self) -> jax.tree_util.Partial:
         return jax.tree_util.Partial(VaryingStencilOperator.matvec, self)
 
     def matvec_fm_partial(self) -> jax.tree_util.Partial:
         return jax.tree_util.Partial(VaryingStencilOperator.matvec_fm, self)
+
+    def matvec_fm_flat_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(VaryingStencilOperator.matvec_fm_flat, self)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -557,8 +569,20 @@ class WaveNormalStencilOperator:
     def __call__(self, x):
         return self.matvec(x)
 
+    @jax.jit
+    def matvec_fm_flat(self, x: jax.Array) -> jax.Array:
+        """Field-major apply on a FLAT (m·N,) vector (see
+        VaryingStencilOperator.matvec_fm_flat)."""
+        m = self.m
+        shp = ((m, -1) if self.layout == "flat"
+               else (m,) + self.shape_zyx)
+        return self.matvec_fm(x.reshape(shp)).reshape(-1)
+
     def matvec_partial(self) -> jax.tree_util.Partial:
         return jax.tree_util.Partial(WaveNormalStencilOperator.matvec, self)
 
     def matvec_fm_partial(self) -> jax.tree_util.Partial:
         return jax.tree_util.Partial(WaveNormalStencilOperator.matvec_fm, self)
+
+    def matvec_fm_flat_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(WaveNormalStencilOperator.matvec_fm_flat, self)

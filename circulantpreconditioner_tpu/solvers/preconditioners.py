@@ -58,6 +58,42 @@ def pbjacobi(A: BSRMatrix, shift: float = 0.0) -> jax.tree_util.Partial:
     return jax.tree_util.Partial(_block_diag_apply, Dinv)
 
 
+def _block_diag_apply_fm(DinvT, r):
+    """DinvT (b, b, n): field-major point-block apply on a flat (b·n,)
+    field-major vector — 16 full-lane multiply-add streams, no relayout."""
+    b = DinvT.shape[0]
+    g = r.reshape(b, -1)
+    return jnp.einsum("ijn,jn->in", DinvT, g).reshape(-1)
+
+
+def pbjacobi_fm(A: BSRMatrix, shift: float = 0.0) -> jax.tree_util.Partial:
+    """pbjacobi for FIELD-MAJOR flat vectors (x.reshape(b, n) is the field
+    view). The inverted diagonal blocks are stored (b, b, n) so the apply is
+    16 lane-parallel streams instead of a batched (n,b,b)·(n,b) contraction
+    with b=4 trailing lanes."""
+    D = np.asarray(A.block_diagonal())
+    if shift:
+        D = D + shift * np.eye(A.block_size)[None, :, :]
+    Dinv = np.linalg.inv(D)  # (n, b, b)
+    DinvT = np.ascontiguousarray(Dinv.transpose(1, 2, 0))
+    return jax.tree_util.Partial(
+        _block_diag_apply_fm, jnp.asarray(DinvT, dtype=A.blocks.dtype))
+
+
+def _cell_major_adapter_apply(apply_cm, eye_m, r):
+    m = eye_m.shape[0]
+    z = apply_cm(r.reshape(m, -1).T.reshape(-1))
+    return z.reshape(-1, m).T.reshape(-1)
+
+
+def cell_major_adapter(apply_cm, m: int) -> jax.tree_util.Partial:
+    """Wrap a cell-major preconditioner apply for use on FIELD-MAJOR flat
+    vectors: one (N,m)↔(m,N) relayout pair per apply. The m×m identity
+    exists only to carry the static block size through the Partial pytree."""
+    return jax.tree_util.Partial(_cell_major_adapter_apply, apply_cm,
+                                 jnp.eye(int(m)))
+
+
 def _additive_apply(appliers, r):
     out = appliers[0](r)
     for M in appliers[1:]:
@@ -82,12 +118,23 @@ def additive(*appliers: Callable[[jax.Array], jax.Array]) -> Callable[[jax.Array
     return apply
 
 
+def _multiplicative_apply(A, coarse, smoother, r):
+    z = coarse(r)
+    return z + smoother(r - A(z))
+
+
 def multiplicative(A: Callable, coarse: Callable, smoother: Callable) -> Callable:
-    """Multiplicative two-level cycle: z = Mc r; z += Ms (r − A z)."""
+    """Multiplicative two-level cycle: z = Mc r; z += Ms (r − A z)
+    (PETSc PCCOMPOSITE MULTIPLICATIVE). One extra operator apply per PC
+    apply, but measurably fewer Krylov iterations than the additive
+    composite with the DCT coarse term (kershaw 8/16³ implicit wave,
+    cfl=333, tol 1e-5: 10/27 its vs additive's 18/41). Partial-preserving
+    like `additive`."""
+    if all(isinstance(f, jax.tree_util.Partial) for f in (A, coarse, smoother)):
+        return jax.tree_util.Partial(_multiplicative_apply, A, coarse, smoother)
 
     def apply(r: jax.Array) -> jax.Array:
-        z = coarse(r)
-        return z + smoother(r - A(z))
+        return _multiplicative_apply(A, coarse, smoother, r)
 
     return apply
 

@@ -159,3 +159,15 @@ def test_wave_implicit_driver_sharded_circulant2l(tmp_path):
     assert np.isfinite(state).all()
     its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
     assert its and max(its) < 1000  # GMRES converged within maxits each step
+
+
+def test_wave_implicit_driver_dct2lm(tmp_path):
+    """Multiplicative DCT two-level PC in the field-major GMRES loop."""
+    res = wave_implicit.main(
+        ["4", "4", "4", "--mesh-family", "kershaw", "--pc", "dct2lm",
+         "--ntmax", "3"] + _common(tmp_path, []))
+    state = np.asarray(res.state)
+    assert state.size == 4 * 4 * 4 * 4
+    assert np.isfinite(state).all()
+    its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
+    assert its and max(its) < 1000

@@ -264,3 +264,35 @@ def test_explicit_stepper_field_major_matches():
         G, dn_fm = step_fm(G)
     np.testing.assert_allclose(model.unpack_fm(G), np.asarray(U), atol=1e-9)
     assert abs(float(dn) - float(dn_fm)) < 1e-9 * max(float(dn), 1.0)
+
+
+def test_implicit_stepper_field_major_matches():
+    """Field-major implicit GMRES (fm matvec + adapted cell-major two-level
+    PC + fm pbjacobi) reproduces the cell-major stepper: same iteration
+    count, same solution."""
+    import numpy as np
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.solvers import preconditioners as pcs
+    from circulantpreconditioner_tpu.solvers.circulant_pc import DCTBlockProjectionPC
+
+    m = kershaw_mesh(((0.0, 1.0),) * 3, (6, 6, 6))
+    model = WaveSystem(m, cfl=333.0, dtype=jnp.float64)
+    coarse = DCTBlockProjectionPC(m, model.dt, model.c0, dtype=jnp.float64)
+
+    M_cm = pcs.additive(coarse.apply, pcs.pbjacobi(model.divergence, shift=1.0))
+    step_cm = model.implicit_stepper(M=M_cm, rtol=1e-8, atol=1e-10,
+                                     maxiter=500, side="right")
+    step_fm = model.implicit_stepper_fm(
+        M_cm=coarse.apply, M_fm=pcs.pbjacobi_fm(model.divergence, shift=1.0),
+        rtol=1e-8, atol=1e-10, maxiter=500, side="right")
+    assert step_fm is not None
+
+    U = model.initial_state()
+    out_cm = step_cm(U)
+    out_fm = step_fm(model.pack_fm(U).reshape(-1))
+    assert bool(out_cm[4]) and bool(out_fm[4])
+    assert int(out_cm[2]) == int(out_fm[2]), (int(out_cm[2]), int(out_fm[2]))
+    np.testing.assert_allclose(model.unpack_fm(out_fm[0]), np.asarray(out_cm[0]),
+                               rtol=1e-9, atol=1e-9 * float(jnp.abs(out_cm[0]).max()))
