@@ -278,6 +278,62 @@ def bench_wave_implicit_both(n_side=16):
     return rec
 
 
+def bench_transport_implicit(n_side=100):
+    """The reference's flagship Krylov case: implicit transport GMRES on the
+    100³ cube, a=(1,0,0), cfl=1e3/3, tol 1e-5
+    (TransportEquation_SphericalExplosion_impl_mpi.cxx:233-236,258-259 —
+    GMRES+PCNONE, per-solve wall time printed :131-137). Headline = the
+    circulant-PC run: the acceleration the reference project was built to
+    demonstrate and never wired (ToDo.md:1). The wall/Neumann operator
+    differs from the periodic circulant only on the boundary layer, so the
+    FFT solve preconditions it to ~2 iterations at any size."""
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh import cartesian_mesh
+    from circulantpreconditioner_tpu.models import TransportEquation
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    mesh = cartesian_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model = TransportEquation(mesh, velocity=[1.0, 0.0, 0.0], cfl=1e3 / 3,
+                              dtype=jnp.float32)
+    u0 = model.initial_state()
+
+    def run_case(M, side, steps):
+        step = model.implicit_stepper(M=M, rtol=1e-5, atol=1e-5, maxiter=1000,
+                                      side=side)
+        out = retry_transient(lambda: step(u0))
+        iters = int(np.asarray(out[2]))
+        conv = bool(np.asarray(out[4]))
+
+        @jax.jit
+        def run(u, K):
+            return jax.lax.fori_loop(0, K, lambda i, v: step(v)[0], u)
+
+        retry_transient(lambda: run(u0, 2))
+        np.asarray(run(u0, 2))
+        totals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(u0, steps))
+            totals.append(time.perf_counter() - t0)
+        return min(totals) / steps, iters, conv
+
+    print("bench: transport 100^3 GMRES + circulant PC ...", file=sys.stderr,
+          flush=True)
+    per_pc, it_pc, conv_pc = run_case(model.fft_operator.as_preconditioner(),
+                                      "right", steps=20)
+    print("bench: transport 100^3 GMRES + PCNONE (reference config) ...",
+          file=sys.stderr, flush=True)
+    per_no, it_no, conv_no = run_case(None, "left", steps=3)
+    return {"metric": f"transport_implicit_step_ms_{n_side}cubed",
+            "value": round(per_pc * 1e3, 2), "unit": "ms/step",
+            "pc": "circulant (periodic FFT solve, right-PC true residual)",
+            "gmres_iters": it_pc, "converged": conv_pc,
+            "pcnone_ms_per_step": round(per_no * 1e3, 2),
+            "pcnone_gmres_iters": it_no, "pcnone_converged": conv_no}
+
+
 def bench_scale_distributed(n_side=32, devices=8):
     """Scale experiment on the reference's mesh ladder (meshes/README.md:30-40):
     Kershaw n³ implicit wave, row-sharded GMRES over `devices` virtual CPU
@@ -370,6 +426,7 @@ _BENCHES = {
     "spmv64": lambda: bench_spmv(64),
     "spmv_tet": lambda: bench_spmv_tet(),
     "wave_implicit": lambda: bench_wave_implicit_both(),
+    "transport_implicit": lambda: bench_transport_implicit(),
     "pc_iterations": lambda: bench_pc_iterations(),
     "scale_distributed": lambda: bench_scale_distributed(),
 }

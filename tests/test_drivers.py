@@ -171,3 +171,16 @@ def test_wave_implicit_driver_dct2lm(tmp_path):
     assert np.isfinite(state).all()
     its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
     assert its and max(its) < 1000
+
+
+def test_transport_implicit_structured_circulant_pc(tmp_path):
+    """On a wall/Neumann STRUCTURED grid the periodic circulant PC differs
+    from the operator only on the boundary layer: GMRES must converge in a
+    handful of iterations (the acceleration the reference project was built
+    to demonstrate, ToDo.md:1 / PCSHELLFft_3D.cxx)."""
+    res = transport_implicit.main(
+        ["12", "12", "12", "--pc", "circulant", "--ntmax", "3"]
+        + _common(tmp_path, []))
+    assert np.isfinite(np.asarray(res.state)).all()
+    its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
+    assert its and max(its) <= 4, its
