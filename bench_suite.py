@@ -278,6 +278,37 @@ def bench_wave_implicit_both(n_side=16):
     return rec
 
 
+def bench_wave_explicit(n_side=64):
+    """Explicit wave stepping (the WaveSystem_..._expl_seq workload,
+    U <- U - D U per step, :90-91) on Kershaw n³ — field-major state, the
+    plane-blocked Pallas stencil as D on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    print(f"bench: building kershaw {n_side}^3 (explicit) ...", file=sys.stderr,
+          flush=True)
+    mesh = kershaw_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model = WaveSystem(mesh, cfl=1.0 / 3, dtype=jnp.float32)  # expl default
+    step = model.explicit_stepper_fm()
+    G0 = model.pack_fm(model.initial_state())
+
+    @jax.jit
+    def run(g, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: step(v)[0], g)
+
+    retry_transient(lambda: run(G0, 4))
+    np.asarray(run(G0, 4))
+    per = _dev_time(run, G0, K1=100, K2=500)
+    return {"metric": f"wave_explicit_step_us_kershaw{n_side}",
+            "value": round(per * 1e6, 1), "unit": "us/step",
+            "unknowns": int(model.divergence.shape[0]),
+            "operator": "plane-blocked Pallas stencil, field-major"}
+
+
 def bench_transport_implicit(n_side=100):
     """The reference's flagship Krylov case: implicit transport GMRES on the
     100³ cube, a=(1,0,0), cfl=1e3/3, tol 1e-5
@@ -427,6 +458,7 @@ _BENCHES = {
     "spmv_tet": lambda: bench_spmv_tet(),
     "wave_implicit": lambda: bench_wave_implicit_both(),
     "transport_implicit": lambda: bench_transport_implicit(),
+    "wave_explicit": lambda: bench_wave_explicit(),
     "pc_iterations": lambda: bench_pc_iterations(),
     "scale_distributed": lambda: bench_scale_distributed(),
 }
