@@ -464,6 +464,22 @@ _BENCHES = {
 }
 
 
+# metric-name prefix each bench produces — used to PURGE a bench's stale
+# results from a merged artifact when a re-run of that bench fails (an error
+# record alone would otherwise leave the old number presenting as current)
+_BENCH_METRIC_PREFIX = {
+    "circulant": "circulant_pc_applies_per_s",
+    "spmv": "spmv_gnnz_per_s_kershaw32",
+    "spmv64": "spmv_gnnz_per_s_kershaw64",
+    "spmv_tet": "spmv_gnnz_per_s_tet",
+    "wave_implicit": "wave_implicit_step_ms",
+    "transport_implicit": "transport_implicit_step_ms",
+    "wave_explicit": "wave_explicit_step_us",
+    "pc_iterations": "wave_implicit_gmres_iters_by_pc",
+    "scale_distributed": "wave_implicit_dist",
+}
+
+
 def main(out_path: str | None = None, only: list[str] | None = None):
     """Usage: python bench_suite.py [out.json] [bench1,bench2,...]
 
@@ -473,13 +489,15 @@ def main(out_path: str | None = None, only: list[str] | None = None):
 
     enable_compile_cache()
     results = []
+    failed = []
     for name, fn in _BENCHES.items():
         if only and name not in only:
             continue
         try:
             rec = fn()
         except Exception as e:  # keep the suite going; record the failure
-            rec = {"metric": name, "error": str(e)[:200]}
+            rec = {"metric": f"{name}_ERROR", "error": str(e)[:200]}
+            failed.append(name)
         print(json.dumps(rec), flush=True)
         results.append(rec)
     if out_path:
@@ -500,9 +518,13 @@ def main(out_path: str | None = None, only: list[str] | None = None):
             with open(out_path) as f:
                 old = json.load(f)
             merged = {r["metric"]: r for r in old.get("results", [])}
+            for name in failed:  # drop stale evidence for failed benches
+                pref = _BENCH_METRIC_PREFIX.get(name, name)
+                for k in [k for k in merged if k.startswith(pref)]:
+                    del merged[k]
             merged.update({r["metric"]: r for r in results})
             payload["results"] = list(merged.values())
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
         print(f"wrote {out_path}", file=sys.stderr)

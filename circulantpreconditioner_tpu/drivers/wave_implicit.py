@@ -40,63 +40,44 @@ def main(argv=None):
     if args.shard == "rows":
         return _main_sharded(args, mesh, model, dtype)
 
-    M = None
-    side = "left"
+    side = "right" if args.pc in ("circulant2l", "dct2l", "dct2lm") else "left"
     fm = False  # field-major loop (no per-matvec relayouts) when available
+    coarse = None
+    if args.pc in ("circulant2l", "dct2l", "dct2lm"):
+        from circulantpreconditioner_tpu.solvers.circulant_pc import (
+            BlockCirculantProjectionPC,
+            DCTBlockProjectionPC,
+        )
+
+        cls = BlockCirculantProjectionPC if args.pc == "circulant2l" else DCTBlockProjectionPC
+        coarse = cls(mesh, model.dt, model.c0, dtype=dtype)
+
     if args.pc == "blockfft":
         # direct block-circulant solve replaces GMRES entirely
         step = model.block_fft_stepper()
     else:
-        if args.pc == "pbjacobi":
-            M = pcs.pbjacobi(model.divergence, shift=1.0)
-        elif args.pc == "ilu0":
-            import scipy.sparse as sp
-
-            from circulantpreconditioner_tpu.ops.csr import CSRMatrix
-
-            A_I = CSRMatrix.from_scipy(
-                (sp.eye(model.divergence.shape[0])
-                 + model.divergence.to_csr(dtype).to_scipy()).tocsr(), dtype=dtype)
-            M = pcs.ilu0(A_I).apply_partial()
-        elif args.pc == "bjacobi":
-            import scipy.sparse as sp
-
-            from circulantpreconditioner_tpu.ops.csr import CSRMatrix
-
-            A_I = CSRMatrix.from_scipy(
-                (sp.eye(model.divergence.shape[0])
-                 + model.divergence.to_csr(dtype).to_scipy()).tocsr(), dtype=dtype)
-            M = pcs.block_jacobi_ilu0(A_I, args.n_blocks)
-        elif args.pc in ("circulant2l", "dct2l", "dct2lm"):
-            from circulantpreconditioner_tpu.solvers.circulant_pc import (
-                BlockCirculantProjectionPC,
-                DCTBlockProjectionPC,
-            )
-
-            cls = BlockCirculantProjectionPC if args.pc == "circulant2l" else DCTBlockProjectionPC
-            coarse = cls(mesh, model.dt, model.c0, dtype=dtype)
-            pj = pcs.pbjacobi(model.divergence, shift=1.0)
-            if args.pc == "dct2lm":
-                M = pcs.multiplicative(model.implicit_matvec(), coarse.apply, pj)
-            else:
-                M = pcs.additive(coarse.apply, pj)
-            side = "right"
+        # try the field-major GMRES loop first — the cell-major PC stack
+        # (including a host inversion of every diagonal block) is only
+        # built in the fallback below
         step = None
         if args.pc in ("none", "pbjacobi", "circulant2l", "dct2l", "dct2lm"):
             A_fm = model.implicit_matvec_fm()
-            M_fm = (pcs.pbjacobi_fm(model.divergence, shift=1.0)
-                    if args.pc != "none" else None)
-            M_cm = None
-            if args.pc == "dct2lm" and A_fm is not None:
-                M_fm = pcs.multiplicative(
-                    A_fm, pcs.cell_major_adapter(coarse.apply, model.nb), M_fm)
-            elif args.pc in ("circulant2l", "dct2l"):
-                M_cm = coarse.apply
-            step = model.implicit_stepper_fm(
-                M_cm=M_cm, M_fm=M_fm, rtol=args.rtol, atol=args.atol,
-                maxiter=args.maxits, side=side)
-            fm = step is not None
+            if A_fm is not None:
+                M_fm = (pcs.pbjacobi_fm(model.divergence, shift=1.0)
+                        if args.pc != "none" else None)
+                M_cm = None
+                if args.pc == "dct2lm":
+                    M_fm = pcs.multiplicative(
+                        A_fm, pcs.cell_major_adapter(coarse.apply, model.nb),
+                        M_fm)
+                elif args.pc in ("circulant2l", "dct2l"):
+                    M_cm = coarse.apply
+                step = model.implicit_stepper_fm(
+                    M_cm=M_cm, M_fm=M_fm, rtol=args.rtol, atol=args.atol,
+                    maxiter=args.maxits, side=side)
+                fm = step is not None
         if step is None:
+            M = _build_cell_major_pc(args, model, coarse, dtype)
             step = model.implicit_stepper(M=M, rtol=args.rtol, atol=args.atol,
                                           maxiter=args.maxits, side=side)
 
@@ -124,6 +105,31 @@ def main(argv=None):
     if its:
         print(f"GMRES iterations per step: median {np.median(its):.0f}, max {np.max(its):.0f}")
     return res
+
+
+def _build_cell_major_pc(args, model, coarse, dtype):
+    """Cell-major preconditioner for the fallback implicit stepper."""
+    from circulantpreconditioner_tpu.solvers import preconditioners as pcs
+
+    if args.pc == "none":
+        return None
+    if args.pc == "pbjacobi":
+        return pcs.pbjacobi(model.divergence, shift=1.0)
+    if args.pc in ("ilu0", "bjacobi"):
+        import scipy.sparse as sp
+
+        from circulantpreconditioner_tpu.ops.csr import CSRMatrix
+
+        A_I = CSRMatrix.from_scipy(
+            (sp.eye(model.divergence.shape[0])
+             + model.divergence.to_csr(dtype).to_scipy()).tocsr(), dtype=dtype)
+        if args.pc == "ilu0":
+            return pcs.ilu0(A_I).apply_partial()
+        return pcs.block_jacobi_ilu0(A_I, args.n_blocks)
+    pj = pcs.pbjacobi(model.divergence, shift=1.0)
+    if args.pc == "dct2lm":
+        return pcs.multiplicative(model.implicit_matvec(), coarse.apply, pj)
+    return pcs.additive(coarse.apply, pj)
 
 
 def _main_sharded(args, mesh, model, dtype):

@@ -205,6 +205,9 @@ class WaveSystem:
                         return mv  # shape-agnostic: (m,N)/grid/flat
                 return (Wn.matvec_fm_flat_partial() if flat
                         else Wn.matvec_fm_partial())
+        if operator == "normal":  # same contract as divergence_op: no
+            raise ValueError(     # silent downgrade to the dense blocks
+                "wave normal-form decomposition failed for this mesh")
         return V.matvec_fm_flat_partial() if flat else V.matvec_fm_partial()
 
     def pack_fm(self, U) -> jax.Array:

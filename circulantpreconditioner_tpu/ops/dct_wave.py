@@ -70,25 +70,27 @@ def _np_sin_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _np_wall_block_tensor(shape_zyx, dim, dt, c0, spacing_xyz) -> np.ndarray:
-    """Pre-inverted real frequency blocks, shape (*(n_a+1,), nb, nb)."""
-    from circulantpreconditioner_tpu.ops.assembly import wave_jacobian_blocks
+    """Pre-inverted real frequency blocks, shape (*(n_a+1,), nb, nb).
 
-    nb = dim + 1
+    Derived from the SAME wave_block_stencil blocks the periodic PC uses —
+    S_a/K_a are the symmetric/antisymmetric halves of the ±e_a offset
+    blocks and C is the center block — so the wall and periodic coarse
+    operators can never drift apart if the stencil convention changes."""
+    from circulantpreconditioner_tpu.ops.assembly import wave_block_stencil
+
     ndim = len(shape_zyx)
-    h = np.asarray(spacing_xyz, dtype=np.float64)[:dim]
-    # per zyx-axis a: S_a, K_a and the center accumulation
-    C = np.eye(nb)
+    assert ndim == dim, (ndim, dim)
+    nb = dim + 1
+    offsets, blocks = wave_block_stencil(dim, dt, c0, spacing_xyz)
+    bmap = {tuple(off): blk for off, blk in zip(offsets, np.asarray(blocks))}
+    C = bmap[(0,) * ndim]
     S = {}
     K = {}
-    for d in range(dim):  # xyz axis index; zyx position a = ndim-1-d
-        a = ndim - 1 - d
-        e = np.zeros((1, dim))
-        e[0, d] = 1.0
-        A, absA = wave_jacobian_blocks(e, c0)
-        lam = dt / h[d]
-        S[a] = -0.5 * lam * absA[0]
-        K[a] = 0.5 * lam * A[0]
-        C = C + lam * absA[0]
+    for a in range(ndim):  # zyx axis position
+        ep = tuple(1 if i == a else 0 for i in range(ndim))
+        em = tuple(-1 if i == a else 0 for i in range(ndim))
+        S[a] = 0.5 * (bmap[ep] + bmap[em])  # −λ|A|/2 (diffusive part)
+        K[a] = 0.5 * (bmap[ep] - bmap[em])  # +λA/2  (advective part)
     # σ_a(c): −1 iff component c is the q of the xyz axis mapped to a
     sigma = np.ones((ndim, nb))
     for d in range(dim):

@@ -185,7 +185,9 @@ class FusedCirculantSolver:
     def create(cls, shape_zyx: Sequence[int], lambdas_zyx: Sequence[float],
                dtype=jnp.float32, precision: str = "high", interpret: bool = False):
         shape_zyx = tuple(int(v) for v in shape_zyx)
-        if len(shape_zyx) != 3 or (not _HAS_PLTPU and not interpret) \
+        # pl is None when the pallas import itself failed — interpret mode
+        # can't help then either (solve() needs pl.pallas_call)
+        if len(shape_zyx) != 3 or pl is None or (not _HAS_PLTPU and not interpret) \
                 or _vmem_estimate(shape_zyx) > _VMEM_LIMIT_BYTES:
             return MatmulCirculantSolver.create(shape_zyx, lambdas_zyx, dtype, precision)
         nz, ny, nx = shape_zyx

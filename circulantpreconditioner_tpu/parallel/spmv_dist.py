@@ -25,6 +25,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from circulantpreconditioner_tpu.ops.csr import CSRMatrix
 
 
+def _spmv_partial(A) -> jax.tree_util.Partial:
+    """The operator as a Partial pytree: cols/vals enter jitted consumers
+    as runtime PARAMETERS. Required on multi-process meshes (global arrays
+    may not be closed over, only passed as arguments) and avoids
+    HLO-constant recompiles per matrix."""
+    return jax.tree_util.Partial(A._spmv, A.cols, A.vals)
+
+
 class ShardedELLMatrix:
     """Row-sharded padded-ELL operator: y = A x with x, y sharded vectors."""
 
@@ -81,11 +89,8 @@ class ShardedELLMatrix:
         return self._spmv(self.cols, self.vals, x)
 
     def matvec_partial(self) -> jax.tree_util.Partial:
-        """The operator as a Partial pytree: cols/vals enter jitted consumers
-        as runtime PARAMETERS. Required on multi-process meshes (global
-        arrays may not be closed over, only passed as arguments) and avoids
-        HLO-constant recompiles per matrix."""
-        return jax.tree_util.Partial(self._spmv, self.cols, self.vals)
+        """See _spmv_partial."""
+        return _spmv_partial(self)
 
     def __matmul__(self, x):
         return self.matvec(x)
@@ -188,8 +193,8 @@ class HaloELLMatrix:
         return self._spmv(self.cols, self.vals, x)
 
     def matvec_partial(self) -> jax.tree_util.Partial:
-        """See ShardedELLMatrix.matvec_partial."""
-        return jax.tree_util.Partial(self._spmv, self.cols, self.vals)
+        """See _spmv_partial."""
+        return _spmv_partial(self)
 
     def __matmul__(self, x):
         return self.matvec(x)
