@@ -309,6 +309,56 @@ def bench_wave_explicit(n_side=64):
             "operator": "plane-blocked Pallas stencil, field-major"}
 
 
+def bench_diffusion_implicit(n_side=64):
+    """Implicit diffusion (the reference roadmap's named next capability,
+    ToDo.md:5-6): CG step time + iterations, and the FFT direct solve on
+    the periodic grid, at n³."""
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh import cartesian_mesh
+    from circulantpreconditioner_tpu.models import DiffusionEquation
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    mesh = cartesian_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model = DiffusionEquation(mesh, cfl=10.0, dtype=jnp.float32)
+    u0 = model.initial_state()
+    step = model.implicit_stepper(rtol=1e-5, atol=1e-5, maxiter=1000)
+    out = retry_transient(lambda: step(u0))
+    iters = int(np.asarray(out[2]))
+    conv = bool(np.asarray(out[4]))
+
+    @jax.jit
+    def run(u, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: step(v)[0], u)
+
+    retry_transient(lambda: run(u0, 2))
+    np.asarray(run(u0, 2))
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(u0, 20))
+        totals.append(time.perf_counter() - t0)
+    per = min(totals) / 20
+
+    meshp = cartesian_mesh(((0.0, 1.0),) * 3, (n_side,) * 3, periodic=True)
+    modelp = DiffusionEquation(meshp, cfl=10.0, dtype=jnp.float32)
+    fft_step = modelp.fft_stepper()
+    up = modelp.initial_state()
+
+    @jax.jit
+    def runf(u, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: fft_step(v)[0], u)
+
+    retry_transient(lambda: runf(up, 4))
+    np.asarray(runf(up, 4))
+    perf_ = _dev_time(runf, up, K1=100, K2=500)
+    return {"metric": f"diffusion_implicit_step_ms_{n_side}cubed",
+            "value": round(per * 1e3, 2), "unit": "ms/step",
+            "cg_iters": iters, "converged": conv,
+            "fft_direct_us_per_step_periodic": round(perf_ * 1e6, 1)}
+
+
 def bench_transport_implicit(n_side=100):
     """The reference's flagship Krylov case: implicit transport GMRES on the
     100³ cube, a=(1,0,0), cfl=1e3/3, tol 1e-5
@@ -458,9 +508,11 @@ _BENCHES = {
     "spmv_tet": lambda: bench_spmv_tet(),
     "wave_implicit": lambda: bench_wave_implicit_both(),
     "transport_implicit": lambda: bench_transport_implicit(),
+    "diffusion_implicit": lambda: bench_diffusion_implicit(),
     "wave_explicit": lambda: bench_wave_explicit(),
     "pc_iterations": lambda: bench_pc_iterations(),
     "scale_distributed": lambda: bench_scale_distributed(),
+    "scale_distributed48": lambda: bench_scale_distributed(48),
 }
 
 
@@ -474,9 +526,11 @@ _BENCH_METRIC_PREFIX = {
     "spmv_tet": "spmv_gnnz_per_s_tet",
     "wave_implicit": "wave_implicit_step_ms",
     "transport_implicit": "transport_implicit_step_ms",
+    "diffusion_implicit": "diffusion_implicit_step_ms",
     "wave_explicit": "wave_explicit_step_us",
     "pc_iterations": "wave_implicit_gmres_iters_by_pc",
-    "scale_distributed": "wave_implicit_dist",
+    "scale_distributed": "wave_implicit_dist_kershaw32",
+    "scale_distributed48": "wave_implicit_dist_kershaw48",
 }
 
 

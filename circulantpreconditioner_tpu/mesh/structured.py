@@ -129,6 +129,11 @@ def cartesian_mesh(
         name=name or f"cartesian_{'x'.join(map(str, n))}",
     )
     mesh.spacing = h  # type: ignore[attr-defined]
+    # x-fastest cell numbering IS a topological grid: lets the gather-free
+    # varying-stencil / field-major paths apply to cartesian meshes too
+    # (diffusion has no dedicated uniform-stencil operator and previously
+    # fell back to the assembled-CSR gather matvec here)
+    mesh.topology_shape = tuple(int(v) for v in n)  # type: ignore[attr-defined]
     return mesh
 
 
