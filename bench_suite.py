@@ -309,6 +309,35 @@ def bench_wave_explicit(n_side=64):
             "operator": "plane-blocked Pallas stencil, field-major"}
 
 
+def bench_wave_dct_direct(n_side=64):
+    """DIRECT wall-BC implicit wave solve via the exact DCT/DST block
+    diagonalization — no GMRES at all on the reference's default cartesian
+    wall meshes (its impl_seq runs GMRES+ILU on this exact operator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh import cartesian_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    mesh = cartesian_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+    step = model.dct_fft_stepper()
+    U0 = model.initial_state()
+
+    @jax.jit
+    def run(u, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: step(v)[0], u)
+
+    retry_transient(lambda: run(U0, 2))
+    np.asarray(run(U0, 2))
+    per = _dev_time(run, U0, K1=50, K2=250)
+    return {"metric": f"wave_dct_direct_us_per_step_{n_side}cubed",
+            "value": round(per * 1e6, 1), "unit": "us/step",
+            "unknowns": int(model.divergence.shape[0]),
+            "note": "exact wall-BC direct solve, replaces GMRES+ILU"}
+
+
 def bench_diffusion_implicit(n_side=64):
     """Implicit diffusion (the reference roadmap's named next capability,
     ToDo.md:5-6): CG step time + iterations, and the FFT direct solve on
@@ -509,6 +538,7 @@ _BENCHES = {
     "wave_implicit": lambda: bench_wave_implicit_both(),
     "transport_implicit": lambda: bench_transport_implicit(),
     "diffusion_implicit": lambda: bench_diffusion_implicit(),
+    "wave_dct_direct": lambda: bench_wave_dct_direct(),
     "wave_explicit": lambda: bench_wave_explicit(),
     "pc_iterations": lambda: bench_pc_iterations(),
     "scale_distributed": lambda: bench_scale_distributed(),
@@ -527,6 +557,7 @@ _BENCH_METRIC_PREFIX = {
     "wave_implicit": "wave_implicit_step_ms",
     "transport_implicit": "transport_implicit_step_ms",
     "diffusion_implicit": "diffusion_implicit_step_ms",
+    "wave_dct_direct": "wave_dct_direct_us_per_step",
     "wave_explicit": "wave_explicit_step_us",
     "pc_iterations": "wave_implicit_gmres_iters_by_pc",
     "scale_distributed": "wave_implicit_dist_kershaw32",

@@ -22,7 +22,10 @@ from circulantpreconditioner_tpu.solvers import preconditioners as pcs
 def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--pc", choices=["none", "pbjacobi", "ilu0", "bjacobi", "blockfft",
-                                    "circulant2l", "dct2l", "dct2lm"], default="ilu0")
+                                    "dctfft", "circulant2l", "dct2l", "dct2lm"],
+                   default="ilu0",
+                   help="blockfft/dctfft replace GMRES with an exact direct "
+                        "solve (periodic / wall cartesian grids)")
     p.add_argument("--n-blocks", type=int, default=4, help="bjacobi partition count")
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--atol", type=float, default=1e-5)
@@ -55,6 +58,9 @@ def main(argv=None):
     if args.pc == "blockfft":
         # direct block-circulant solve replaces GMRES entirely
         step = model.block_fft_stepper()
+    elif args.pc == "dctfft":
+        # direct wall-BC DCT/DST solve replaces GMRES entirely
+        step = model.dct_fft_stepper()
     else:
         # try the field-major GMRES loop first — the cell-major PC stack
         # (including a host inversion of every diagonal block) is only

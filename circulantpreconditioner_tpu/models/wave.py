@@ -289,6 +289,24 @@ class WaveSystem:
 
         return step
 
+    def dct_fft_stepper(self):
+        """DIRECT wall-BC solve of (I + D)Uⁿ⁺¹ = Uⁿ via the exact DCT/DST
+        block diagonalization (ops/dct_wave.py) — the wall-boundary
+        counterpart of block_fft_stepper, replacing GMRES entirely on the
+        reference's default cartesian wall meshes
+        (WaveSystem_..._impl_seq.cxx runs GMRES+ILU on exactly this
+        operator). Exactness vs the assembled FV operator is asserted to
+        1e-13 in tests/test_dct_wave.py."""
+        from circulantpreconditioner_tpu.ops.dct_wave import DCTBlockWaveSolver
+
+        if self._homogeneous_bc() != "wall":
+            raise ValueError("dct_fft_stepper needs a structured mesh with "
+                             "uniform Wall boundaries")
+        shape_zyx = tuple(reversed(self.mesh.structured_shape))  # type: ignore[attr-defined]
+        op = DCTBlockWaveSolver.create(shape_zyx, self.dim, self.dt, self.c0,
+                                       self.mesh.spacing, dtype=self.dtype)  # type: ignore[attr-defined]
+        return lambda U: _blockfft_step_impl(op, U)
+
     def block_fft_stepper(self, method: str = "auto"):
         """Block-circulant direct solve per step (periodic structured grids).
         method: "fft" (jnp.fft path), "matmul" (MXU DFT path), "auto"."""

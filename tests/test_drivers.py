@@ -184,3 +184,16 @@ def test_transport_implicit_structured_circulant_pc(tmp_path):
     assert np.isfinite(np.asarray(res.state)).all()
     its = [d["extras"][0] for d in res.diagnostics if d["extras"]]
     assert its and max(its) <= 4, its
+
+
+def test_wave_implicit_dctfft_direct_matches_gmres(tmp_path):
+    """The wall-BC DCT/DST DIRECT solve (no GMRES) reproduces the
+    GMRES+ILU implicit trajectory on the reference's default cartesian
+    wall mesh."""
+    common = ["--ntmax", "3", "--tmax", "0.002", "--result-dir", str(tmp_path),
+              "--f64"]
+    r_dct = wave_implicit.main(["8", "8", "--pc", "dctfft"] + common)
+    r_ilu = wave_implicit.main(["8", "8", "--pc", "ilu0", "--rtol", "1e-12",
+                                "--atol", "1e-12"] + common)
+    a, b = np.asarray(r_dct.state), np.asarray(r_ilu.state)
+    np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-7 * np.abs(b).max())
