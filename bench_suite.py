@@ -150,8 +150,10 @@ def bench_spmv_tet(n_side=16):
     model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
     A = model.divergence.to_csr(jnp.float32)
     nnz = A.nnz
-    D = model.divergence_op()
-    x0 = jnp.asarray(np.random.default_rng(0).random(A.shape[0]).astype(np.float32))
+    # field-major supercell stencil (6 tets/hex, 24x24 site blocks applied
+    # as one grid-minor einsum)
+    D = model.divergence_op_fm()
+    x0 = model.pack_fm(np.random.default_rng(0).random(A.shape[0]).astype(np.float32))
 
     @jax.jit
     def run(x, K):

@@ -210,14 +210,21 @@ class WaveSystem:
                 "wave normal-form decomposition failed for this mesh")
         return V.matvec_fm_flat_partial() if flat else V.matvec_fm_partial()
 
+    @property
+    def fm_block(self) -> int:
+        """Field-major granularity: dim+1 components per cell, times the
+        supercell grouping on meshes whose stencil SITE packs several cells
+        (tet meshes: 6 cells/site → 24-row field view)."""
+        return self.nb * int(getattr(self.mesh, "cells_per_site", 1))
+
     def pack_fm(self, U) -> jax.Array:
-        """Flat cell-major state → field-major (dim+1, nC) device array."""
-        return jnp.asarray(np.asarray(U).reshape(-1, self.nb).T.copy(),
+        """Flat cell-major state → field-major (fm_block, nSites) array."""
+        return jnp.asarray(np.asarray(U).reshape(-1, self.fm_block).T.copy(),
                            dtype=self.dtype)
 
     def unpack_fm(self, G) -> np.ndarray:
-        """Field-major (dim+1, nC) or flat (dim+1)·nC → flat cell-major."""
-        return np.asarray(G).reshape(self.nb, -1).T.reshape(-1)
+        """Field-major (fm_block, nSites) or flat → flat cell-major."""
+        return np.asarray(G).reshape(self.fm_block, -1).T.reshape(-1)
 
     # --- steppers -----------------------------------------------------------
     def explicit_stepper(self, operator: str = "auto"):
@@ -253,7 +260,12 @@ class WaveSystem:
     def implicit_matvec_fm(self, operator: str = "auto"):
         """I + D on FIELD-MAJOR flat vectors, or None when the mesh has no
         gather-free stencil form. The matvec pays no (N,m)↔(m,N) relayouts
-        (see divergence_op_fm)."""
+        (see divergence_op_fm). Supercell meshes (cells_per_site > 1) are
+        excluded: their field-major flattening groups fm_block=site·(dim+1)
+        rows, which the per-CELL preconditioner compositions
+        (pbjacobi_fm, cell_major_adapter) would silently mis-index."""
+        if int(getattr(self.mesh, "cells_per_site", 1)) != 1:
+            return None
         D = self.divergence_op_fm(operator, flat=True)
         if D is None:
             return None

@@ -296,3 +296,28 @@ def test_implicit_stepper_field_major_matches():
     assert int(out_cm[2]) == int(out_fm[2]), (int(out_cm[2]), int(out_fm[2]))
     np.testing.assert_allclose(model.unpack_fm(out_fm[0]), np.asarray(out_cm[0]),
                                rtol=1e-9, atol=1e-9 * float(jnp.abs(out_cm[0]).max()))
+
+
+def test_explicit_stepper_field_major_supercell_tet():
+    """Field-major explicit stepping on a TET mesh (6 cells/site supercell,
+    fm_block = 24) matches the cell-major trajectory — guards the
+    pack/unpack granularity on supercell meshes."""
+    import numpy as np
+
+    from circulantpreconditioner_tpu.mesh.unstructured import tet_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+
+    m = tet_mesh(((0.0, 1.0),) * 3, (3, 3, 3))
+    model = WaveSystem(m, cfl=0.5, dtype=jnp.float64)
+    assert model.fm_block == 24
+    step = model.explicit_stepper()
+    step_fm = model.explicit_stepper_fm()
+    assert step_fm is not None
+    # implicit fm path must REFUSE supercell meshes (per-cell PC mismatch)
+    assert model.implicit_matvec_fm() is None
+    U = model.initial_state()
+    G = model.pack_fm(U)
+    for _ in range(3):
+        U, _ = step(U)
+        G, _ = step_fm(G)
+    np.testing.assert_allclose(model.unpack_fm(G), np.asarray(U), atol=1e-9)
