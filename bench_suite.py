@@ -411,9 +411,9 @@ def bench_transport_implicit(n_side=100):
                               dtype=jnp.float32)
     u0 = model.initial_state()
 
-    def run_case(M, side, steps):
+    def run_case(M, side, steps, restart=30):
         step = model.implicit_stepper(M=M, rtol=1e-5, atol=1e-5, maxiter=1000,
-                                      side=side)
+                                      side=side, restart=restart)
         out = retry_transient(lambda: step(u0))
         iters = int(np.asarray(out[2]))
         conv = bool(np.asarray(out[4]))
@@ -433,8 +433,18 @@ def bench_transport_implicit(n_side=100):
 
     print("bench: transport 100^3 GMRES + circulant PC ...", file=sys.stderr,
           flush=True)
-    per_pc, it_pc, conv_pc = run_case(model.fft_operator.as_preconditioner(),
-                                      "right", steps=20)
+    from circulantpreconditioner_tpu.ops.spectral_collapse import (
+        make_circulant_solver,
+    )
+
+    op = model.fft_operator
+    M_pc = make_circulant_solver(op.shape_zyx, op.lambdas_zyx,
+                                 dtype=jnp.float32,
+                                 precision="high").as_preconditioner()
+    # small restart: the PC converges in ~3 iterations, so a 31-row Krylov
+    # basis would make the CGS2 projections (full-matrix (m+1,N) matvecs)
+    # the dominant cost at N=1e6
+    per_pc, it_pc, conv_pc = run_case(M_pc, "right", steps=20, restart=8)
     print("bench: transport 100^3 GMRES + PCNONE (reference config) ...",
           file=sys.stderr, flush=True)
     per_no, it_no, conv_no = run_case(None, "left", steps=3)

@@ -51,7 +51,18 @@ def main(argv=None):
             # iterations at any size (vs 19/121/250+ unpreconditioned at
             # 20/40/100³). This is the acceleration the reference project
             # was built to demonstrate (ToDo.md:1, PCSHELLFft_3D.cxx).
-            M = model.fft_operator.as_preconditioner()
+            # make_circulant_solver picks the fastest exact formulation for
+            # the λ pattern (spectral collapse → ONE matmul for the
+            # reference's axis-aligned velocity); bf16x3 is plenty for a PC
+            # under right-preconditioned true-residual convergence.
+            from circulantpreconditioner_tpu.ops.spectral_collapse import (
+                make_circulant_solver,
+            )
+
+            op = model.fft_operator
+            M = make_circulant_solver(op.shape_zyx, op.lambdas_zyx,
+                                      dtype=dtype,
+                                      precision="high").as_preconditioner()
             side = "right"  # true-residual convergence (PC is approximate)
         else:
             import jax.numpy as jnp
