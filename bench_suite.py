@@ -548,6 +548,7 @@ _BENCHES = {
     "spmv64": lambda: bench_spmv(64),
     "spmv_tet": lambda: bench_spmv_tet(),
     "wave_implicit": lambda: bench_wave_implicit_both(),
+    "wave_implicit32": lambda: bench_wave_implicit(32, pc="dct2lm"),
     "transport_implicit": lambda: bench_transport_implicit(),
     "diffusion_implicit": lambda: bench_diffusion_implicit(),
     "wave_dct_direct": lambda: bench_wave_dct_direct(),
@@ -566,7 +567,8 @@ _BENCH_METRIC_PREFIX = {
     "spmv": "spmv_gnnz_per_s_kershaw32",
     "spmv64": "spmv_gnnz_per_s_kershaw64",
     "spmv_tet": "spmv_gnnz_per_s_tet",
-    "wave_implicit": "wave_implicit_step_ms",
+    "wave_implicit": "wave_implicit_step_ms_kershaw16",
+    "wave_implicit32": "wave_implicit_step_ms_kershaw32",
     "transport_implicit": "transport_implicit_step_ms",
     "diffusion_implicit": "diffusion_implicit_step_ms",
     "wave_dct_direct": "wave_dct_direct_us_per_step",
