@@ -61,7 +61,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 
 def build_mesh(args):
     if args.msh:
-        return read_gmsh(args.msh)
+        from circulantpreconditioner_tpu.mesh.topology import recover_grid_topology
+
+        mesh = read_gmsh(args.msh)
+        recover_grid_topology(mesh)
+        return mesh
     if args.n and not str(args.n[0]).lstrip("-").isdigit():
         from circulantpreconditioner_tpu.mesh import read_mesh
 

@@ -263,16 +263,28 @@ def _read_med_2d(f, it, points, mesh_name, name, path) -> Mesh:
     return mesh
 
 
-def read_mesh(path: str, **kw) -> Mesh:
+def read_mesh(path: str, recover_topology: bool = True, **kw) -> Mesh:
     """Extension-dispatched mesh loader (.med / .msh) — the analog of the
-    reference drivers' `Mesh(argv[1])` branch."""
+    reference drivers' `Mesh(argv[1])` branch.
+
+    By default runs the grid-topology recovery pass (mesh/topology.py) so the
+    reference's own hexa/Kershaw fixture families (meshes/README.md:16-19,
+    37-40) — topological grids with warped geometry — get `topology_shape`
+    and take the gather-free stencil SpMV instead of the assembled gather
+    path. Meshes that are not topological grids are returned unchanged."""
     from circulantpreconditioner_tpu.mesh.typ3 import read_typ3
     from circulantpreconditioner_tpu.mesh.unstructured import read_gmsh
 
     if path.endswith(".med"):
-        return read_med(path, **kw)
-    if path.endswith(".msh"):
-        return read_gmsh(path, **kw)
-    if path.endswith(".typ3"):
-        return read_typ3(path, **kw)
-    raise ValueError(f"unsupported mesh file: {path}")
+        mesh = read_med(path, **kw)
+    elif path.endswith(".msh"):
+        mesh = read_gmsh(path, **kw)
+    elif path.endswith(".typ3"):
+        mesh = read_typ3(path, **kw)
+    else:
+        raise ValueError(f"unsupported mesh file: {path}")
+    if recover_topology:
+        from circulantpreconditioner_tpu.mesh.topology import recover_grid_topology
+
+        recover_grid_topology(mesh)
+    return mesh
