@@ -56,6 +56,8 @@ def make_plane_stencil_matvec(Wn, interpret: bool = False,
     if any(abs(o) > P for o in offs):
         return None
     B = int(planes_per_block)
+    if B < 1:  # contract violation: fall back like the other guards
+        return None
     while nz % B:
         B //= 2
     BP = B * P

@@ -36,6 +36,8 @@ free parameter of the PC — finer only helps).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 import jax
@@ -98,6 +100,16 @@ def _build_exchange(cols: np.ndarray, n_src_blocks: int, Pn: int):
             send_idx[j, i, :len(rj)] = rj - j * Bs
         blk = cols[i * Bd:(i + 1) * Bd]
         cols_remap[i * Bd:(i + 1) * Bd] = pos[np.searchsorted(needed, blk)]
+    if Pn * H >= n_src_blocks:
+        # every pair is padded to the global max halo H, so one skewed
+        # projection footprint can inflate the exchange buffer (Pn·H rows per
+        # device) past the all_gather volume the halo path is meant to avoid —
+        # surface it instead of silently running slower
+        warnings.warn(
+            f"halo exchange buffer Pn*H = {Pn}*{H} rows >= source size "
+            f"{n_src_blocks}: projection footprint is too skewed for the "
+            "personalized exchange to beat all_gather (consider halo=False)",
+            RuntimeWarning, stacklevel=2)
     return send_idx, cols_remap, H
 
 
