@@ -37,6 +37,28 @@ _HEX_FACES = [
 # 4 triangle faces of a tetrahedron (outward for positively-oriented tets)
 _TET_FACES = [(1, 2, 3), (0, 3, 2), (0, 1, 3), (0, 2, 1)]
 
+
+def weld_points(points: np.ndarray, tol: float = 1e-9):
+    """Merge duplicate nodes — the MEDCoupling mergeNodes analog the
+    SOLVERLAB loader relies on. Returns (points, remap) with
+    remap[old_id] = new_id, or (points, None) when every node is unique.
+
+    Several reference fixtures store each cell with its OWN copies of shared
+    vertices (3DKershawTetra1.med: 3865 nodes, only 2697 distinct
+    coordinates). Face extraction matches faces by vertex-id sets, so
+    without welding tens of thousands of interior faces stay unmatched and
+    are silently treated as boundary — a wrong operator. Nodes are keyed on
+    round(p / (tol·scale)): exact and near-exact duplicates merge, distinct
+    mesh nodes (separated by ≫ tol·scale) never do."""
+    pts = np.asarray(points, dtype=np.float64)
+    scale = float(np.abs(pts).max()) or 1.0
+    key = np.round(pts / (tol * scale)).astype(np.int64)
+    _, first_idx, inverse = np.unique(key, axis=0, return_index=True,
+                                      return_inverse=True)
+    if len(first_idx) == len(pts):
+        return pts, None
+    return pts[first_idx], inverse.reshape(-1).astype(np.int64)
+
 # splitting of a hex into 6 tets (all positively oriented, shared diagonal 0-6)
 _HEX_TO_TETS = [
     (0, 1, 2, 6),
@@ -477,4 +499,7 @@ def read_gmsh(path: str, name=None) -> Mesh:
     remap = {v: i for i, v in enumerate(ids)}
     points = np.array([nodes[v] for v in ids])
     cells = [tuple(remap[v] for v in c) for c in cells]
+    points, weld = weld_points(points)  # per-cell duplicated vertices (see weld_points)
+    if weld is not None:
+        cells = [tuple(int(weld[v]) for v in c) for c in cells]
     return build_mesh_from_cells(points, cells, name=name or path)
