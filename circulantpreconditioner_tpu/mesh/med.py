@@ -97,8 +97,13 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
 
         coo = np.asarray(it["NOE/COO"], dtype=np.float64)
         points = coo.reshape(esp, -1).T.copy()  # no-interlace
+        # several fixtures duplicate shared vertices per cell (3DKershawTetra*:
+        # 3865 nodes, 2697 distinct) — weld so face matching by vertex set works
+        from circulantpreconditioner_tpu.mesh.unstructured import weld_points
+
+        points, node_remap = weld_points(points)
         if esp == 2:
-            return _read_med_2d(f, it, points, mesh_name, name, path)
+            return _read_med_2d(f, it, points, node_remap, mesh_name, name, path)
         if esp != 3:
             raise NotImplementedError(f"{path}: only 2D/3D MED meshes supported (ESP={esp})")
 
@@ -109,7 +114,8 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
 
         def conn(ds, k):
             a = np.asarray(ds, dtype=np.int64)
-            return a.reshape(k, -1).T - 1  # no-interlace, 1-based -> 0-based
+            a = a.reshape(k, -1).T - 1  # no-interlace, 1-based -> 0-based
+            return node_remap[a] if node_remap is not None else a
 
         vol_blocks = []  # (cells_block, faces_block or None)
         for typ, k in _VOLUME_TYPES.items():
@@ -127,6 +133,8 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
             ifn = np.asarray(poe["IFN"], dtype=np.int64)  # (ncell+1,) 1-based face offsets
             inn = np.asarray(poe["INN"], dtype=np.int64)  # (nface+1,) 1-based node offsets
             nod = np.asarray(poe["NOD"], dtype=np.int64) - 1
+            if node_remap is not None:
+                nod = node_remap[nod]
             pcells, pfaces = [], []
             for c in range(len(ifn) - 1):
                 local_faces_g = [
@@ -175,6 +183,8 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
             pog = mai["POG"]
             inn = np.asarray(pog["INN"], dtype=np.int64)
             nod = np.asarray(pog["NOD"], dtype=np.int64) - 1
+            if node_remap is not None:
+                nod = node_remap[nod]
             fam = np.asarray(pog["FAM"], dtype=np.int64) if "FAM" in pog else None
             for i in range(len(inn) - 1):
                 r = nod[inn[i] - 1: inn[i + 1] - 1]
@@ -208,7 +218,7 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
     return mesh
 
 
-def _read_med_2d(f, it, points, mesh_name, name, path) -> Mesh:
+def _read_med_2d(f, it, points, node_remap, mesh_name, name, path) -> Mesh:
     """ESP=2 branch: TR3/QU4 elements are the CELLS, SE2 segments are the
     boundary elements carrying family/group tags. Mirrors the reference
     drivers' 2D `.med` acceptance (SOLVERLAB Mesh(file.med) is
@@ -220,7 +230,8 @@ def _read_med_2d(f, it, points, mesh_name, name, path) -> Mesh:
 
     def conn(ds, k):
         a = np.asarray(ds, dtype=np.int64)
-        return a.reshape(k, -1).T - 1
+        a = a.reshape(k, -1).T - 1
+        return node_remap[a] if node_remap is not None else a
 
     for typ, k in (("TR3", 3), ("QU4", 4)):
         if typ in mai:
@@ -229,6 +240,8 @@ def _read_med_2d(f, it, points, mesh_name, name, path) -> Mesh:
         pog = mai["POG"]
         inn = np.asarray(pog["INN"], dtype=np.int64)
         nod = np.asarray(pog["NOD"], dtype=np.int64) - 1
+        if node_remap is not None:
+            nod = node_remap[nod]
         for i in range(len(inn) - 1):
             cells.append(tuple(nod[inn[i] - 1: inn[i + 1] - 1]))
     if not cells:
@@ -284,7 +297,21 @@ def read_mesh(path: str, recover_topology: bool = True, **kw) -> Mesh:
     else:
         raise ValueError(f"unsupported mesh file: {path}")
     if recover_topology:
+        from circulantpreconditioner_tpu.mesh.conforming import (
+            match_nonconforming_faces,
+        )
         from circulantpreconditioner_tpu.mesh.topology import recover_grid_topology
 
-        recover_grid_topology(mesh)
+        # complete non-conforming interfaces FIRST (tet-Kershaw fixtures have
+        # mismatched triangle splits across ~4% of interior interfaces), then
+        # try grid-topology recovery on the corrected adjacency; genuinely
+        # unstructured meshes instead get a bandwidth-tight RCM order for the
+        # clustered-window SpMV (ops/window_spmv.py)
+        match_nonconforming_faces(mesh)
+        if not recover_grid_topology(mesh):
+            from circulantpreconditioner_tpu.mesh.topology import (
+                renumber_bandwidth,
+            )
+
+            renumber_bandwidth(mesh)
     return mesh

@@ -30,9 +30,11 @@ new cell id -> original file cell id) so I/O layers can round-trip fields in
 file order.
 
 The tetrahedral families (mesh_tetra_*, 3DKershawTetra*) are genuinely
-unstructured (probed: 24-640 tets per vertical column in 3DKershawTetra1 —
-no uniform supercell exists); they keep the assembled path (see
-ops/ell_window.py for its TPU acceleration).
+unstructured — after node welding and non-conforming interface matching
+(mesh/conforming.py) the cell counts per Kershaw column still vary (the
+tetrahedralization adds Steiner points; 11072 tets / 512 hexes is not even
+an integer ratio), so no uniform supercell exists and they keep the
+assembled path.
 """
 
 from __future__ import annotations
@@ -146,6 +148,34 @@ def recover_grid_topology(mesh: Mesh, tol: float = 1e-6) -> bool:
 
     permute_cells(mesh, new_id)
     mesh.topology_shape = tuple(shape)  # type: ignore[attr-defined]
+    return True
+
+
+def renumber_bandwidth(mesh: Mesh) -> bool:
+    """Reverse Cuthill–McKee renumbering for meshes with NO grid topology
+    (the unstructured tetra fixture families, meshes/README.md:22-33).
+
+    Consecutive cells become face-neighbours, so the clustered-window SpMV
+    (ops/window_spmv.py) gets small per-cluster source unions — measured on
+    welded 3DKershawTetra2: bandwidth 93,440 → 1,297, G=8 cluster unions
+    31 cells mean / 42 max. Returns True if the mesh was renumbered (the
+    permutation is recorded in `cell_permutation` like grid recovery does);
+    False for grid-tagged or trivial meshes."""
+    if getattr(mesh, "topology_shape", None) is not None or mesh.n_cells < 2:
+        return False
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    n = mesh.n_cells
+    indptr, indices = _cell_adjacency(mesh)
+    A = sp.csr_matrix((np.ones(len(indices), np.int8),
+                       indices.astype(np.int32), indptr.astype(np.int32)),
+                      shape=(n, n))
+    perm = reverse_cuthill_mckee(A)  # position k holds old cell perm[k]
+    new_id = np.empty(n, dtype=np.int64)
+    new_id[perm] = np.arange(n)
+    permute_cells(mesh, new_id)
+    mesh.bandwidth_ordered = True  # type: ignore[attr-defined]
     return True
 
 

@@ -138,17 +138,27 @@ class TransportEquation:
     def divergence_op(self, operator: str = "auto"):
         """D as a pytree-callable: 'stencil' (gather-free structured fast
         path), 'varying' (gather-free per-cell-coefficient stencil for
-        topologically structured meshes, e.g. Kershaw), 'matrix' (assembled
-        CSR), or 'auto'."""
+        topologically structured meshes, e.g. Kershaw), 'window' (clustered
+        dense windows for bandwidth-ordered unstructured meshes), 'matrix'
+        (assembled CSR), or 'auto'."""
         if operator == "auto":
             if self._stencil_bc():
                 operator = "stencil"
             elif getattr(self.mesh, "topology_shape", None) is not None:
                 operator = "varying"
+            elif getattr(self.mesh, "bandwidth_ordered", False):
+                operator = "window"
             else:
                 operator = "matrix"
         if operator == "stencil":
             return self.stencil_operator.matvec_partial()
+        if operator == "window":
+            from circulantpreconditioner_tpu.ops.window_spmv import (
+                WindowedBlockOperator,
+            )
+
+            return WindowedBlockOperator.from_csr(
+                self.divergence, dtype=self.dtype).matvec_partial()
         if operator == "varying":
             from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
 
@@ -168,12 +178,16 @@ class TransportEquation:
 
     def implicit_stepper(self, M=None, rtol: float = 1e-5, atol: float = 1e-5,
                          maxiter: int = 1000, restart: int = 30, side: str = "left",
-                         operator: str = "auto"):
+                         operator: str = "auto", layout: str = "auto"):
         """GMRES path (reference: GMRES + PCNONE,
         TransportEquation_..._impl_mpi.cxx:33-36); pass M for the circulant PC
-        (side="right" for rank-deficient projection PCs)."""
+        (side="right" for rank-deficient projection PCs). layout="lane"
+        forces the lane-tiled Krylov basis even when the step is traced
+        inside an outer jit (where the auto sharding probe must stay
+        conservative)."""
         solver = make_gmres(self.implicit_matvec(operator), M, restart=restart,
-                            rtol=rtol, atol=atol, maxiter=maxiter, side=side)
+                            rtol=rtol, atol=atol, maxiter=maxiter, side=side,
+                            layout=layout)
 
         def step(u):
             res = solver(u, u)

@@ -126,17 +126,27 @@ class WaveSystem:
     def divergence_op(self, operator: str = "auto"):
         """The D operator as a pytree-callable: 'stencil' (structured fast
         path), 'varying' (gather-free per-cell-block stencil on topologically
-        structured meshes, e.g. the Kershaw family), 'matrix' (assembled
-        BSR), or 'auto'."""
+        structured meshes, e.g. the Kershaw family), 'window' (clustered
+        dense windows for bandwidth-ordered unstructured meshes — the tetra
+        fixture families), 'matrix' (assembled BSR), or 'auto'."""
         if operator == "auto":
             if self._homogeneous_bc():
                 operator = "stencil"
             elif getattr(self.mesh, "topology_shape", None) is not None:
                 operator = "varying"
+            elif getattr(self.mesh, "bandwidth_ordered", False):
+                operator = "window"
             else:
                 operator = "matrix"
         if operator == "stencil":
             return self.stencil_operator.matvec_partial()
+        if operator == "window":
+            from circulantpreconditioner_tpu.ops.window_spmv import (
+                WindowedBlockOperator,
+            )
+
+            return WindowedBlockOperator.from_bsr(
+                self.divergence, dtype=self.dtype).matvec_partial()
         if operator in ("varying", "normal"):
             from circulantpreconditioner_tpu.ops.stencil import (
                 VaryingStencilOperator,
@@ -187,9 +197,18 @@ class WaveSystem:
                         is not None else "matrix")
         if operator not in ("varying", "normal"):
             return None
-        V = VaryingStencilOperator.from_bsr(
-            self.divergence, self.mesh.topology_shape,
-            cells_per_site=getattr(self.mesh, "cells_per_site", 1))  # type: ignore[attr-defined]
+        try:
+            V = VaryingStencilOperator.from_bsr(
+                self.divergence, self.mesh.topology_shape,
+                cells_per_site=getattr(self.mesh, "cells_per_site", 1))  # type: ignore[attr-defined]
+        except ValueError:
+            # topology_shape is set but the operator is not a 7-point
+            # face-neighbour stencil (e.g. extra couplings from periodic
+            # tagging): honor the documented None fallback for probe callers,
+            # keep the raise for an explicit 'normal' request
+            if operator == "normal":
+                raise
+            return None
         if V.layout not in ("flat", "grid_last"):
             return None
         if getattr(self.mesh, "cells_per_site", 1) == 1:
@@ -246,10 +265,11 @@ class WaveSystem:
 
     def implicit_stepper(self, M=None, rtol: float = 1e-5, atol: float = 1e-5,
                          maxiter: int = 1000, restart: int = 30, side: str = "left",
-                         operator: str = "auto"):
+                         operator: str = "auto", layout: str = "auto"):
         """GMRES (+ILU seq / BJACOBI mpi in the reference; any M here)."""
         solver = make_gmres(self.implicit_matvec(operator), M, restart=restart,
-                            rtol=rtol, atol=atol, maxiter=maxiter, side=side)
+                            rtol=rtol, atol=atol, maxiter=maxiter, side=side,
+                            layout=layout)
 
         def step(U):
             res = solver(U, U)

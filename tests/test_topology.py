@@ -61,10 +61,15 @@ def test_fixture_topology_recovered(rel, shape):
         "3DTetrahedra_Kershaw/3DKershawTetra1.med",
     ],
 )
-def test_unstructured_fixture_untouched(rel):
+def test_unstructured_fixture_not_grid_tagged(rel):
+    """Tetra fixtures are not topological grids: no topology_shape; instead
+    they get the RCM bandwidth order for the windowed SpMV."""
     m = read_mesh(_p(rel))
     assert getattr(m, "topology_shape", None) is None
-    assert getattr(m, "cell_permutation", None) is None
+    assert getattr(m, "bandwidth_ordered", False)
+    perm = getattr(m, "cell_permutation", None)
+    assert perm is not None and sorted(perm) == list(range(m.n_cells))
+    m.validate()
 
 
 def test_loaded_kershaw_stencil_equals_assembled():
