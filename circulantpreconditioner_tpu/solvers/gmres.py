@@ -61,6 +61,7 @@ def make_gmres(
     maxiter: int = 1000,
     divtol: float = 1e4,
     side: str = "left",
+    layout: str = "auto",
 ) -> Callable[[jax.Array, jax.Array | None], KrylovResult]:
     """Build a jitted GMRES solver for a fixed operator/preconditioner pair.
 
@@ -76,11 +77,27 @@ def make_gmres(
     residual — required for rank-deficient preconditioners like the
     projection-circulant PC (a singular M makes the left-preconditioned
     test pass spuriously while the true residual is large).
+
+    layout: internal storage of the Krylov basis V.
+    - "lane": V is (m+1, ⌈n/128⌉, 128) — the flat vector folded onto the TPU
+      lane axis. The CGS2 projections become 2D-lane einsum contractions:
+      measured 161 vs 340 µs/iteration at n=10⁶ on one v5e, and the per-
+      iteration basis-row insert stops paying a whole-V relayout copy.
+      Vectors still enter/leave A and M flat, so operators are unaffected.
+    - "flat": V is (m+1, n) — no padding/reshape; the right choice for
+      GSPMD-sharded vectors, where folding a row-sharded axis onto lanes
+      would force resharding collectives inside the hot loop.
+    - "auto" (default): "lane" for unsharded single-device vectors of
+      ≥ 16384 entries, else "flat". Both layouts run the identical
+      arithmetic (same projections, same Givens recurrence) — iteration
+      counts match to floating-point roundoff.
     """
     if M is None:
         M = _identity
     if side not in ("left", "right"):
         raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    if layout not in ("auto", "lane", "flat"):
+        raise ValueError(f"layout must be auto/lane/flat, got {layout!r}")
     right = side == "right"
     m = int(restart)
 
@@ -94,26 +111,64 @@ def make_gmres(
     A_static = None if A_is_tree else A
     M_static = None if M_is_tree else M
 
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def _solve(A_st, M_st, A_dyn, M_dyn, b, x0):
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def _solve(A_st, M_st, lane, A_dyn, M_dyn, b, x0):
         A = A_st if A_st is not None else A_dyn
         M = M_st if M_st is not None else M_dyn
         return _gmres_body(A, M, b, x0, m=m, rtol=rtol, atol=atol,
-                           maxiter=maxiter, divtol=divtol, right=right)
+                           maxiter=maxiter, divtol=divtol, right=right,
+                           lane=lane)
+
+    def _pick_lane(b) -> bool:
+        if layout != "auto":
+            return layout == "lane"
+        if b.ndim != 1 or b.shape[0] < 16384:
+            return False
+        try:  # sharded vectors keep the flat layout (see docstring)
+            sh = b.sharding
+            return getattr(sh, "num_devices", len(sh.device_set)) == 1
+        except Exception:
+            return False
 
     def solve(b: jax.Array, x0: jax.Array | None = None) -> KrylovResult:
-        return _solve(A_static, M_static,
+        return _solve(A_static, M_static, _pick_lane(b),
                       A if A_is_tree else None, M if M_is_tree else None, b, x0)
 
     return solve
 
 
-def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right) -> KrylovResult:
+def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right,
+                lane=False) -> KrylovResult:
     if True:  # (indentation kept shallow-diff friendly)
         n = b.shape[0]
         dtype = b.dtype
         x = jnp.zeros_like(b) if x0 is None else x0
         eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+        # Basis storage (see make_gmres docstring): "lane" folds the vector
+        # onto the 128-lane axis so the CGS2 projections run as 2D einsum
+        # contractions; "flat" keeps (m+1, n) (sharding-friendly). to2/to1
+        # convert between the operator-facing flat vector and the basis cell.
+        if lane:
+            npad = (-n) % 128
+            rows = (n + npad) // 128
+
+            def to2(v):
+                v = jnp.pad(v, (0, npad)) if npad else v
+                return v.reshape(rows, 128)
+
+            def to1(v2):
+                flat = v2.reshape(-1)
+                return flat[:n] if npad else flat
+
+            vshape = (m + 1, rows, 128)
+            proj = "ijk,jk->i"
+            expand = "i,ijk->jk"
+        else:
+            to2 = to1 = lambda v: v
+            vshape = (m + 1, n)
+            proj = "ij,j->i"
+            expand = "i,ij->j"
 
         b_pre = b if right else M(b)
         bnorm = jnp.linalg.norm(b_pre)
@@ -125,9 +180,9 @@ def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right) -> Krylov
 
         def arnoldi_cycle(x, total_it):
             """One restart cycle; returns (x_new, res, iters_done, diverged)."""
-            r = (b - A(x)) if right else M(b - A(x))
+            r = to2((b - A(x)) if right else M(b - A(x)))
             beta = jnp.linalg.norm(r)
-            V = jnp.zeros((m + 1, n), dtype)
+            V = jnp.zeros(vshape, dtype)
             V = V.at[0].set(r / jnp.maximum(beta, eps))
             H = jnp.zeros((m + 1, m), dtype)
             # Q = composed Givens rotations as an explicit (m+1, m+1) matrix:
@@ -149,13 +204,13 @@ def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right) -> Krylov
 
             def inner_body(st):
                 V, H, Q, j, _res = st
-                w = precond_op(V[j])
+                w = to2(precond_op(to1(V[j])))
                 # Classical Gram-Schmidt ×2: rows of V beyond j are zero, so
                 # the full-matrix projection only removes the active basis.
-                h = V @ w  # (m+1,)
-                w = w - V.T @ h
-                h2 = V @ w
-                w = w - V.T @ h2
+                h = jnp.einsum(proj, V, w)  # (m+1,)
+                w = w - jnp.einsum(expand, h, V)
+                h2 = jnp.einsum(proj, V, w)
+                w = w - jnp.einsum(expand, h2, V)
                 h = h + h2
                 wnorm = jnp.linalg.norm(w)
                 h = h.at[j + 1].set(wnorm)
@@ -187,7 +242,7 @@ def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right) -> Krylov
             R = R + jnp.diag(jnp.where(jnp.abs(jnp.diag(R)) < eps, eps, 0.0).astype(dtype))
             gm = jnp.where(diag_ok, g[:m], 0.0)
             y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
-            corr = V[:m].T @ y
+            corr = to1(jnp.einsum(expand, y, V[:m]))
             x_new = x + (M(corr) if right else corr)
             return x_new, res, j, res > dtol
 
