@@ -1,8 +1,8 @@
-"""Multi-host simulation: 2 coordinated JAX processes over localhost — the
-analog of the reference's `mpiexec -n 2` ctest tier
+"""Multi-host simulation: coordinated JAX processes over localhost — the
+analog of the reference's `mpiexec -n 2` AND `-n 4` ctest tiers
 (/root/reference/tests/CMakeLists.txt:67-74). Each process owns 2 virtual
-CPU devices; the distributed slab solve runs over the 4-device global mesh
-and is gathered to process 0 (VecScatterCreateToZero analog)."""
+CPU devices; the distributed solves run over the 2·n-device global mesh
+and are gathered to process 0 (VecScatterCreateToZero analog)."""
 
 import os
 import socket
@@ -20,7 +20,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_cluster(stage: str, timeout: int = 240):
+def _run_cluster(stage: str, timeout: int = 240, nprocs: int = 2):
     port = _free_port()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
@@ -31,10 +31,10 @@ def _run_cluster(stage: str, timeout: int = 240):
     env["JAX_ENABLE_X64"] = "1"
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port), stage],
+            [sys.executable, WORKER, str(pid), str(nprocs), str(port), stage],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     try:
@@ -60,4 +60,19 @@ def test_two_process_preconditioned_gmres():
     processes (mpiexec -n 2 analog, reference tests/CMakeLists.txt:67-74):
     iteration count and solution must match the single-process solve."""
     outs = _run_cluster("pcgmres", timeout=420)
+    assert any("pcgmres iters=" in o for o in outs)
+
+
+def test_four_process_slab_solve_and_gather():
+    """mpiexec -n 4 tier (reference tests/CMakeLists.txt:67-74): the slab
+    FFT solve over 4 processes × 2 devices = 8-way decomposition."""
+    _run_cluster("slab", timeout=360, nprocs=4)
+
+
+def test_four_process_preconditioned_gmres():
+    """mpiexec -n 4 tier for the preconditioned implicit wave solve: the
+    halo SpMV, the distributed two-level circulant PC, and the psum GMRES
+    reductions all cross REAL process boundaries 8 ways; iterations and
+    solution must still match the single-process solve exactly."""
+    outs = _run_cluster("pcgmres", timeout=600, nprocs=4)
     assert any("pcgmres iters=" in o for o in outs)
