@@ -23,13 +23,21 @@ block:
     σ_d(c) = −1 iff component c is q_d (sine-type along axis d), else +1,
 
 derived from the same wave_block_stencil blocks the periodic PC uses. The
-cos family has n modes (k=0..n−1), the sin family n modes (m=1..n); to keep
-one aligned (nb×nb)-block tensor both are embedded in n+1 frequency slots
-(cos slot n and sin slot 0 are structurally zero; the couplings vanish there
-because sinθ=0, so dead and live components never mix). Everything is real:
-forward/backward transforms are n×n matmuls on the MXU and the block solve
-is a pre-inverted real (…, nb, nb) tensor contraction — no complex pairs at
-all, which also sidesteps the axon complex64 boundary restriction.
+cos family has n modes (k=0..n−1), the sin family n modes (m=1..n); both
+are embedded in a COMMON frequency axis padded to F = roundup(n+1, 8) slots
+(cos slot n and sin slot 0 are structurally zero; the couplings vanish
+there because sinθ=0, so dead and live components never mix, and slots
+beyond n+1 are all-zero rows whose inverse blocks are never read back).
+The 8-alignment matters on TPU: a 65-extent axis forces relayouts around
+every einsum — measured at 64³ this pipeline ran at 3.23 ms/step with
+(n+1)-extents vs the ~0.3 ms traffic class of the equivalent periodic
+staged-DFT pipeline (PROFILE.md; the round-3 Mosaic lesson "pad spectral
+extents to multiples of 8" applies to XLA layouts too). Everything is real:
+forward/backward transforms are (F, n) matmuls on the MXU — batched over
+the three cosine components per axis, plus one sine transform — and the
+block solve is a pre-inverted real (…, nb, nb) tensor contraction; no
+complex pairs at all, which also sidesteps the axon complex64 boundary
+restriction.
 """
 
 from __future__ import annotations
@@ -45,37 +53,47 @@ import jax.numpy as jnp
 from circulantpreconditioner_tpu.ops.dft_matmul import _PRECISIONS
 
 
+def _freq_slots(n: int) -> int:
+    """Padded frequency extent: n+1 slots rounded up to a multiple of 8."""
+    return ((n + 1) + 7) // 8 * 8
+
+
 def _np_cos_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """DCT-II forward (n+1, n) with zero last row, and its left inverse
-    (n, n+1) with zero last column."""
+    """DCT-II forward (F, n) with zero rows ≥ n, and its left inverse
+    (n, F) with zero columns ≥ n."""
+    F = _freq_slots(n)
     k = np.arange(n)[:, None]
     i = np.arange(n)[None, :]
-    T = np.zeros((n + 1, n))
+    T = np.zeros((F, n))
     T[:n] = np.cos(np.pi * k * (i + 0.5) / n)
-    I = np.zeros((n, n + 1))
+    I = np.zeros((n, F))
     I[:, :n] = np.linalg.inv(T[:n])
     return T, I
 
 
 def _np_sin_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """DST-II forward (n+1, n) with zero first row (modes m=1..n), and its
-    left inverse (n, n+1) with zero first column."""
+    """DST-II forward (F, n) with modes m=1..n in rows 1..n (row 0 and rows
+    > n zero), and its left inverse (n, F)."""
+    F = _freq_slots(n)
     m = np.arange(1, n + 1)[:, None]
     i = np.arange(n)[None, :]
-    T = np.zeros((n + 1, n))
-    T[1:] = np.sin(np.pi * m * (i + 0.5) / n)
-    I = np.zeros((n, n + 1))
-    I[:, 1:] = np.linalg.inv(T[1:])
+    T = np.zeros((F, n))
+    T[1:n + 1] = np.sin(np.pi * m * (i + 0.5) / n)
+    I = np.zeros((n, F))
+    I[:, 1:n + 1] = np.linalg.inv(T[1:n + 1])
     return T, I
 
 
 def _np_wall_block_tensor(shape_zyx, dim, dt, c0, spacing_xyz) -> np.ndarray:
-    """Pre-inverted real frequency blocks, shape (*(n_a+1,), nb, nb).
+    """Pre-inverted real frequency blocks, shape (*(F_a,), nb, nb).
 
     Derived from the SAME wave_block_stencil blocks the periodic PC uses —
     S_a/K_a are the symmetric/antisymmetric halves of the ±e_a offset
     blocks and C is the center block — so the wall and periodic coarse
-    operators can never drift apart if the stencil convention changes."""
+    operators can never drift apart if the stencil convention changes.
+    Pad slots (index > n_a) use θ clamped to π: the symbol stays in its
+    live range, hence invertible, and their solutions are never read back
+    (the inverse-transform columns there are zero)."""
     from circulantpreconditioner_tpu.ops.assembly import wave_block_stencil
 
     ndim = len(shape_zyx)
@@ -96,13 +114,14 @@ def _np_wall_block_tensor(shape_zyx, dim, dt, c0, spacing_xyz) -> np.ndarray:
     for d in range(dim):
         sigma[ndim - 1 - d, 1 + d] = -1.0
 
-    out_shape = tuple(n + 1 for n in shape_zyx)
+    out_shape = tuple(_freq_slots(n) for n in shape_zyx)
     B = np.zeros(out_shape + (nb, nb))
     B[...] = C
     for a, n in enumerate(shape_zyx):
-        th = np.pi * np.arange(n + 1) / n
+        F = out_shape[a]
+        th = np.pi * np.minimum(np.arange(F), n) / n
         bshape = [1] * ndim
-        bshape[a] = n + 1
+        bshape[a] = F
         cos2 = (2 * np.cos(th)).reshape(bshape + [1, 1])
         sin2 = (2 * np.sin(th)).reshape(bshape + [1, 1])
         B = B + cos2 * S[a] - sin2 * (K[a] * sigma[a][None, :])
@@ -134,6 +153,10 @@ class DCTBlockWaveSolver:
                spacing_xyz, dtype=jnp.float32, precision: str = "high"):
         shape_zyx = tuple(int(v) for v in shape_zyx)
         inv = _np_wall_block_tensor(shape_zyx, dim, dt, c0, spacing_xyz)
+        # component axes LEADING (i, j, *grid): the block-solve einsum then
+        # contracts matching grid-major layouts instead of transposing the
+        # ~24 MB tensor per solve
+        inv = np.moveaxis(inv, (-2, -1), (0, 1))
         mats = []
         for n in shape_zyx:
             Tc, Ic = _np_cos_mats(n)
@@ -146,13 +169,14 @@ class DCTBlockWaveSolver:
     def m(self) -> int:  # block size, MatmulBlockCirculantSolver-compatible
         return self.nb
 
-    def _axis_is_sine(self, comp: int, a: int) -> bool:
-        ndim = len(self.shape_zyx)
-        return comp >= 1 and a == ndim - 1 - (comp - 1)
-
     @jax.jit
     def solve(self, b: jax.Array) -> jax.Array:
-        """b shaped (*shape_zyx, nb) or flat (N·nb,) cell-major; real."""
+        """b shaped (*shape_zyx, nb) or flat (N·nb,) cell-major; real.
+
+        Components ride a leading batch axis: per grid axis, the three
+        cosine-type components transform in ONE batched matmul and the
+        axis's sine-type component (its normal velocity) in a second — 2
+        MXU sweeps per axis instead of nb."""
         was_flat = b.ndim == 1
         g = b.reshape(self.shape_zyx + (self.nb,))
         inv, mats = self.arrays
@@ -160,30 +184,28 @@ class DCTBlockWaveSolver:
         ndim = len(self.shape_zyx)
         sub = "zyx"[3 - ndim:]
 
-        def fwd(v, comp):
-            for a in range(ndim):
-                Tc, _, Ts, _ = mats[a]
-                T = Ts if self._axis_is_sine(comp, a) else Tc
-                ax = sub[a]
-                spec = f"{sub},w{ax}->{sub.replace(ax, 'w')}"
-                v = jnp.einsum(spec, v, T, preferred_element_type=v.dtype,
-                               precision=prec)
-            return v
+        gb = jnp.moveaxis(g, -1, 0)  # (nb, *grid)
 
-        def bwd(v, comp):
-            for a in range(ndim):
-                _, Ic, _, Is = mats[a]
-                T = Is if self._axis_is_sine(comp, a) else Ic
-                ax = sub[a]
-                spec = f"{sub},w{ax}->{sub.replace(ax, 'w')}"
-                v = jnp.einsum(spec, v, T, preferred_element_type=v.dtype,
-                               precision=prec)
-            return v
+        def sweep(gb, a, fwd):
+            Tc, Ic, Ts, Is = mats[a]
+            C, Sn = (Tc, Ts) if fwd else (Ic, Is)
+            ax = sub[a]
+            spec = f"B{sub},w{ax}->B{sub.replace(ax, 'w')}"
+            sin_comp = 1 + (ndim - 1 - a)  # q of the xyz axis mapped to a
+            out = jnp.einsum(spec, gb, C, preferred_element_type=gb.dtype,
+                             precision=prec)
+            hs = jnp.einsum(spec.replace("B", ""), gb[sin_comp], Sn,
+                            preferred_element_type=gb.dtype, precision=prec)
+            return out.at[sin_comp].set(hs)
 
-        spec_hat = jnp.stack([fwd(g[..., c], c) for c in range(self.nb)], axis=-1)
-        x_hat = jnp.einsum("...ij,...j->...i", inv, spec_hat,
-                           preferred_element_type=g.dtype, precision=prec)
-        x = jnp.stack([bwd(x_hat[..., c], c) for c in range(self.nb)], axis=-1)
+        for a in range(ndim):
+            gb = sweep(gb, a, fwd=True)
+        gb = jnp.einsum(f"ij{sub},j{sub}->i{sub}", inv, gb,
+                        preferred_element_type=gb.dtype, precision=prec)
+        for a in range(ndim):
+            gb = sweep(gb, a, fwd=False)
+
+        x = jnp.moveaxis(gb, 0, -1)
         return x.reshape(-1) if was_flat else x
 
     def as_preconditioner(self) -> jax.tree_util.Partial:
