@@ -227,6 +227,17 @@ class WaveSystem:
         if operator == "normal":  # same contract as divergence_op: no
             raise ValueError(     # silent downgrade to the dense blocks
                 "wave normal-form decomposition failed for this mesh")
+        g = int(getattr(self.mesh, "cells_per_site", 1))
+        if g > 1 and V.layout == "flat":
+            from circulantpreconditioner_tpu.ops.stencil import (
+                SupercellStencilOperator,
+            )
+
+            # block-sparse supercell form: ~8× less coefficient traffic
+            # than the dense (g·nb)² einsum blocks (see the class docstring)
+            S = SupercellStencilOperator.from_varying(V, self.nb, g)
+            if S is not None:
+                return S.matvec_fm_flat_partial() if flat else S.matvec_fm_partial()
         return V.matvec_fm_flat_partial() if flat else V.matvec_fm_partial()
 
     @property

@@ -445,6 +445,117 @@ class VaryingStencilOperator:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class SupercellStencilOperator:
+    """Block-SPARSE supercell stencil SpMV for cells_per_site > 1 meshes
+    (the FVCA6 tetra generator: 6 tets per hex, site blocks 24×24).
+
+    The dense supercell form (VaryingStencilOperator, M=24 einsum path)
+    streams 7 offsets × 24×24 coefficients per site — but ~6/7 of those
+    entries are structural zeros: inside a hex only 6 of the 15 tet pairs
+    share a face (18 of 36 sub-blocks incl. diagonals are nonzero), and a
+    hex face split into 2 triangles couples exactly 2 tet pairs per
+    neighbour offset. This class stores, per offset, only the nonzero
+    (sub_row, sub_col) 4×4 sub-blocks — detected from the assembled
+    coefficients at build, so any supercell pattern works — cutting the
+    coefficient traffic ~8× (4032 → ~480+dense-diag scalars per site).
+    Apply = one flat roll per offset + unrolled 4×4 multiply-adds on
+    (N_sites,)-lane vectors, same gather-free contract as the parent.
+    Exact by construction: sub-blocks are the parent's coefficients.
+
+    Reference parity: MatMult on the 3DTetrahedra fixture family ladder
+    (meshes/README.md:22-26)."""
+
+    shape_zyx: tuple[int, ...]
+    m: int  # per-cell block size (dim+1)
+    g: int  # cells per site
+    offsets: tuple  # flat ints, diag included
+    pair_idx: tuple  # per offset: tuple of (sub_r, sub_c) with data
+    coefs: tuple  # per offset: (npairs, m, m, N) arrays
+
+    def tree_flatten(self):
+        return (self.coefs,), (self.shape_zyx, self.m, self.g, self.offsets,
+                               self.pair_idx)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], aux[2], aux[3], aux[4], children[0])
+
+    @property
+    def M(self) -> int:
+        return self.m * self.g
+
+    @classmethod
+    def from_varying(cls, V: "VaryingStencilOperator", m: int, g: int,
+                     tol: float = 0.0):
+        """Decompose a flat-layout supercell VaryingStencilOperator
+        (V.m == m·g) into its nonzero 4×4 sub-block structure. None if V
+        is not in the flat supercell form."""
+        if V.layout != "flat" or V.m != m * g:
+            return None
+        offsets, pair_idx, coefs = [], [], []
+        for off, C in zip(V.offsets, V.coefs):
+            Cn = np.asarray(C)  # (M, M, N)
+            pairs = []
+            mats = []
+            for sr in range(g):
+                for sc in range(g):
+                    sub = Cn[sr * m:(sr + 1) * m, sc * m:(sc + 1) * m]
+                    if np.abs(sub).max() > tol:
+                        pairs.append((sr, sc))
+                        mats.append(sub)
+            if not pairs:
+                continue
+            offsets.append(int(off))
+            pair_idx.append(tuple(pairs))
+            coefs.append(jnp.asarray(np.stack(mats), dtype=C.dtype))
+        return cls(V.shape_zyx, m, g, tuple(offsets), tuple(pair_idx),
+                   tuple(coefs))
+
+    def _apply_gt(self, gt):
+        """gt (M, N_sites) field-major; returns list of M outputs."""
+        m = self.m
+        ys = [jnp.zeros(gt.shape[1:], gt.dtype) for _ in range(self.M)]
+        for off, pairs, C in zip(self.offsets, self.pair_idx, self.coefs):
+            nbr = jnp.roll(gt, -off, axis=1) if off else gt
+            for p, (sr, sc) in enumerate(pairs):
+                for i in range(m):
+                    acc = ys[sr * m + i]
+                    for j in range(m):
+                        acc = acc + C[p, i, j] * nbr[sc * m + j]
+                    ys[sr * m + i] = acc
+        return ys
+
+    @jax.jit
+    def matvec_fm(self, g: jax.Array) -> jax.Array:
+        """Field-major apply: g (M, N_sites) → same shape."""
+        return jnp.stack(self._apply_gt(g))
+
+    @jax.jit
+    def matvec_fm_flat(self, x: jax.Array) -> jax.Array:
+        return self.matvec_fm(x.reshape(self.M, -1)).reshape(-1)
+
+    @jax.jit
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """Cell-major flat apply (site-interleaved rows, like the BSR)."""
+        N = int(np.prod(self.shape_zyx))
+        gt = x.reshape(N, self.M).T
+        return jnp.stack(self._apply_gt(gt), axis=1).reshape(-1)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+    def matvec_fm_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(SupercellStencilOperator.matvec_fm, self)
+
+    def matvec_fm_flat_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(SupercellStencilOperator.matvec_fm_flat, self)
+
+    def matvec_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(SupercellStencilOperator.matvec, self)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class WaveNormalStencilOperator:
     """Physics-structured wave-system SpMV: the off-diagonal upwind blocks
     are rank-structured, Am = s·(A − |A|)(n̂)/2 with
