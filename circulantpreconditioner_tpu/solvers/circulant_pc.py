@@ -51,16 +51,96 @@ def derive_grid_context(mesh: Mesh, velocity, dt: float):
     return n_xyz, tuple(spacing), tuple(lambdas_xyz), bbox
 
 
+def _cell_volume_samples(mesh: Mesh, levels: int = 1):
+    """Equal-sub-volume sample points per cell: (pts (S, n_cells, dim),
+    weight-per-point = cell_volume / S).
+
+    A tetrahedron splits at its centroid into 4 sub-tets of EXACTLY equal
+    volume (each = face_i × dist(centroid, face_i)/3 with the centroid at
+    quarter-height over every face); recursing `levels` times gives 4^levels
+    equal-volume deposit points. Non-tet cells (hexes, Kershaw polyhedra)
+    use their single centroid. This makes the projection weights a true
+    volume-intersection approximation (the MEDCoupling getCrudeMatrix
+    semantics the reference intended, ToDo.md:12) instead of point sampling."""
+    dim = mesh.dim
+    cv = getattr(mesh, "cell_vertices", None)
+    C = mesh.cell_center[:, :dim]
+    if dim != 3 or cv is None:
+        return C[None, :, :]
+    if isinstance(cv, np.ndarray):
+        is_tet = (cv >= 0).sum(axis=1) == 4 if cv.ndim == 2 else None
+        verts = cv
+    else:
+        sizes = np.array([len(c) for c in cv])
+        is_tet = sizes == 4
+        verts = np.full((mesh.n_cells, 4), -1, dtype=np.int64)
+        for i, c in enumerate(cv):
+            if len(c) == 4:
+                verts[i] = list(c)
+    if is_tet is None or not is_tet.any():
+        return C[None, :, :]
+    pts = getattr(mesh, "points", None)
+    if pts is None:
+        return C[None, :, :]
+
+    tets = np.where(is_tet)[0]
+    corners = pts[verts[tets][:, :4]][:, :, :dim]  # (nt, 4, dim)
+
+    def split(tet_corners):
+        # one level: 4 equal-volume sub-tets (replace vertex i by centroid)
+        c = tet_corners.mean(axis=1, keepdims=True)  # (nt, 1, dim)
+        subs = []
+        for i in range(4):
+            sc = tet_corners.copy()
+            sc[:, i:i + 1, :] = c
+            subs.append(sc)
+        return np.stack(subs, axis=1)  # (nt, 4, 4, dim)
+
+    cur = corners[:, None, :, :]  # (nt, 1, 4, dim)
+    for _ in range(max(0, levels)):
+        nt, s = cur.shape[0], cur.shape[1]
+        cur = split(cur.reshape(nt * s, 4, cur.shape[-1]))
+        cur = cur.reshape(nt, s * 4, 4, cur.shape[-1])
+    S = cur.shape[1]
+    tet_pts = cur.mean(axis=2)  # (nt, S, dim) sub-tet centroids
+
+    out = np.repeat(C[None, :, :], S, axis=0).copy()  # (S, n_cells, dim)
+    out[:, tets, :] = tet_pts.transpose(1, 0, 2)
+    return out
+
+
 def build_projection_matrices(
-    mesh: Mesh, n_xyz, bbox, samples_per_axis: int = 3, dtype=jnp.float32
+    mesh: Mesh, n_xyz, bbox, samples_per_axis: int = 3, dtype=jnp.float32,
+    method: str = "sample",
 ) -> tuple[CSRMatrix, CSRMatrix]:
     """(P cart←cells, P_back cells←cart).
 
-    P row g (cartesian cell): average of the unstructured cells owning each
-    of samples_per_axis^dim regular sample points in g (ownership by nearest
-    cell centroid — exact for centroidal meshes, a controlled approximation
-    of the MEDCoupling volume-intersection weights otherwise).
-    P_back row c: the cartesian cell containing centroid(c).
+    method="sample" (default): each voxel averages the nearest cells of
+    samples_per_axis^dim regular points inside it — collocation of the
+    residual field at voxel centers. P_back row c samples the voxel
+    containing centroid(c).
+
+    method="volume": CONSERVATIVE volume deposit — every mesh cell
+    distributes its volume over equal-sub-volume sample points
+    (_cell_volume_samples; 4 per tet, centroid otherwise); each point
+    deposits cell_volume/S into its containing voxel, and P rows are
+    normalized by the deposited mass. P[g,c] then approximates
+    |cell_c ∩ voxel_g| / Σ_c |cell_c ∩ voxel_g| — the MEDCoupling
+    volume-intersection ("crude matrix") weights the reference intended
+    (PCSHELLFft_3D.cxx:101-151, ToDo.md:12). Voxels no cell deposits into
+    fall back to their nearest cell centroid.
+
+    MEASURED NEGATIVE RESULT (round 4; Kershaw n³ implicit wave, dct2lm
+    GMRES iterations, cfl=1e3/3, tol 1e-5): sampling 10/27/49 at 8/16/24³
+    vs volume deposits 10/47/186; pairing the volume P with its normalized
+    adjoint as P_back (the "consistent" projection pair) stalls outright
+    (>300 its from 16³ up). Interpretation: the coarse solve needs P to
+    collocate POINT VALUES of the residual at voxel centers — a voxel
+    dominated by one large warped cell should see that cell's value, not a
+    volume-weighted blend of every sliver touching it. The
+    getCrudeMatrix-semantics weights are therefore implemented and kept
+    available, but collocation sampling stays the default because it
+    measures strictly better on every tested mesh.
     """
     from scipy.spatial import cKDTree
 
@@ -68,36 +148,61 @@ def build_projection_matrices(
     n_xyz = tuple(int(v) for v in n_xyz)
     h = np.array([(bbox[d, 1] - bbox[d, 0]) / n_xyz[d] for d in range(dim)])
     lo = bbox[:, 0]
-    tree = cKDTree(mesh.cell_center[:, :dim])
+    n_cart = int(np.prod(n_xyz))
+
+    def voxel_of(pts):
+        idx = np.clip(((pts - lo[:dim]) / h).astype(np.int64), 0,
+                      np.asarray(n_xyz) - 1)
+        flat = np.zeros(len(pts), dtype=np.int64)
+        stride = 1
+        for d in range(dim):
+            flat += idx[:, d] * stride
+            stride *= n_xyz[d]
+        return flat
 
     # cartesian cell centers, x-fastest flattening (z,y,x C-order)
     axes = [lo[d] + (np.arange(n_xyz[d]) + 0.5) * h[d] for d in range(dim)]
     grids = np.meshgrid(*reversed(axes), indexing="ij")
     cart_centers = np.stack([g.reshape(-1) for g in reversed(grids)], axis=1)
-    n_cart = cart_centers.shape[0]
 
-    # sample offsets within a cartesian cell
-    s = samples_per_axis
-    offs_1d = [((np.arange(s) + 0.5) / s - 0.5) * h[d] for d in range(dim)]
-    offs = np.meshgrid(*reversed(offs_1d), indexing="ij")
-    offsets = np.stack([o.reshape(-1) for o in reversed(offs)], axis=1)  # (s^dim, dim)
+    if method == "volume":
+        samples = _cell_volume_samples(mesh)  # (S, n_cells, dim)
+        S = samples.shape[0]
+        w = np.repeat(mesh.cell_volume[None, :] / S, S, axis=0).reshape(-1)
+        rows = voxel_of(samples.reshape(-1, dim))
+        cols = np.tile(np.arange(mesh.n_cells), S)
+        # rows with no deposit: nearest cell centroid keeps them defined
+        mass = np.zeros(n_cart)
+        np.add.at(mass, rows, w)
+        empty = np.where(mass == 0)[0]
+        if empty.size:
+            tree = cKDTree(mesh.cell_center[:, :dim])
+            _, owner = tree.query(cart_centers[empty])
+            rows = np.concatenate([rows, empty])
+            cols = np.concatenate([cols, owner])
+            w = np.concatenate([w, np.ones(empty.size)])
+            mass[empty] = 1.0
+        vals = w / mass[rows]
+        P = CSRMatrix.from_coo(n_cart, mesh.n_cells, rows, cols, vals,
+                               dtype=dtype)
+    else:
+        tree = cKDTree(mesh.cell_center[:, :dim])
+        s = samples_per_axis
+        offs_1d = [((np.arange(s) + 0.5) / s - 0.5) * h[d] for d in range(dim)]
+        offs = np.meshgrid(*reversed(offs_1d), indexing="ij")
+        offsets = np.stack([o.reshape(-1) for o in reversed(offs)], axis=1)
 
-    pts = (cart_centers[:, None, :] + offsets[None, :, :]).reshape(-1, dim)
-    _, owner = tree.query(pts)
-    owner = owner.reshape(n_cart, -1)
-    rows = np.repeat(np.arange(n_cart), owner.shape[1])
-    cols = owner.reshape(-1)
-    vals = np.full(rows.shape[0], 1.0 / owner.shape[1])
-    P = CSRMatrix.from_coo(n_cart, mesh.n_cells, rows, cols, vals, dtype=dtype)
+        pts = (cart_centers[:, None, :] + offsets[None, :, :]).reshape(-1, dim)
+        _, owner = tree.query(pts)
+        owner = owner.reshape(n_cart, -1)
+        rows = np.repeat(np.arange(n_cart), owner.shape[1])
+        cols = owner.reshape(-1)
+        vals = np.full(rows.shape[0], 1.0 / owner.shape[1])
+        P = CSRMatrix.from_coo(n_cart, mesh.n_cells, rows, cols, vals,
+                               dtype=dtype)
 
     # P_back: cell centroid → containing cartesian cell index
-    idx = np.clip(((mesh.cell_center[:, :dim] - lo) / h).astype(np.int64), 0,
-                  np.asarray(n_xyz) - 1)
-    flat = np.zeros(mesh.n_cells, dtype=np.int64)
-    stride = 1
-    for d in range(dim):
-        flat += idx[:, d] * stride
-        stride *= n_xyz[d]
+    flat = voxel_of(mesh.cell_center[:, :dim])
     rows_b = np.arange(mesh.n_cells)
     P_back = CSRMatrix.from_coo(
         mesh.n_cells, n_cart, rows_b, flat, np.ones(mesh.n_cells), dtype=dtype

@@ -163,3 +163,27 @@ def _perm(mesh, pc):
     tree = cKDTree(mesh.cell_center[:, :dim])
     _, owner = tree.query(cart)
     return owner
+
+
+def test_projection_volume_weights_partition_of_unity():
+    """method='volume' builds the conserved getCrudeMatrix-style weights the
+    reference intended (ToDo.md:12): every P row is a convex combination
+    (sums to 1) and applying P to a constant cell field reproduces the
+    constant exactly — kept available even though collocation sampling is
+    the measured-default (see build_projection_matrices docstring)."""
+    from circulantpreconditioner_tpu.solvers.circulant_pc import (
+        build_projection_matrices,
+        derive_grid_context,
+    )
+
+    m = kershaw_mesh(((-0.5, 0.5),) * 3, (6, 6, 6), eps=0.4)
+    n_xyz, _, _, bbox = derive_grid_context(m, [0.0] * 3, dt=0.1)
+    P, P_back = build_projection_matrices(m, n_xyz, bbox, dtype=jnp.float64,
+                                          method="volume")
+    ones = jnp.ones(m.n_cells, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(P.matvec(ones)), 1.0, atol=1e-12)
+    # smooth linear field: the volume-weighted average stays within the
+    # field's range and tracks voxel centers to first order
+    f = jnp.asarray(m.cell_center[:, 0])
+    g = np.asarray(P.matvec(f))
+    assert g.min() >= float(f.min()) - 1e-12 and g.max() <= float(f.max()) + 1e-12
