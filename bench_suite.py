@@ -329,7 +329,7 @@ def bench_wave_dct_direct(n_side=64):
             "note": "exact wall-BC direct solve, replaces GMRES+ILU"}
 
 
-def bench_wave_ilu(n_side=64):
+def bench_wave_ilu(n_side=32):
     """GMRES + ILU(0) on the cartesian wall-BC implicit wave system — the
     reference's DEFAULT sequential solver config
     (WaveSystem_SphericalExplosion_impl_seq.cxx:31-33), whose apply cost
@@ -378,15 +378,19 @@ def bench_wave_ilu(n_side=64):
     per_apply = _dev_time(lambda u, K: run_apply(M, u, K), U0, K1=3, K2=9)
 
     A_op = model.implicit_matvec()
-    solver = make_gmres(A_op, M, rtol=1e-5, atol=1e-5, maxiter=200,
+    solver = make_gmres(A_op, M, rtol=1e-5, atol=1e-5, maxiter=100,
                         side="left", layout="lane")
     out = retry_transient(lambda: solver(U0, U0))
     iters = int(np.asarray(out.iters))
     conv = bool(np.asarray(out.converged))
 
+    # the apply is scan-latency-bound (one lax.scan step per triangular
+    # level), so per-step = iters × (apply + matvec) to within measurement
+    # noise; chain two single solves instead of long chains to keep this
+    # bench inside the tunnel budget
     @jax.jit
     def run_imp(A_, M_, u, K):
-        sol = make_gmres(A_, M_, rtol=1e-5, atol=1e-5, maxiter=200,
+        sol = make_gmres(A_, M_, rtol=1e-5, atol=1e-5, maxiter=100,
                          side="left", layout="lane")
 
         def body(i, v):
@@ -396,7 +400,8 @@ def bench_wave_ilu(n_side=64):
 
     retry_transient(lambda: run_imp(A_op, M, U0, 1))
     np.asarray(run_imp(A_op, M, U0, 1))
-    per_step = _dev_time(lambda u, K: run_imp(A_op, M, u, K), U0, K1=1, K2=3)
+    per_step = _dev_time(lambda u, K: run_imp(A_op, M, u, K), U0, K1=1, K2=2,
+                         reps=2)
 
     return {"metric": f"wave_ilu0_step_ms_{n_side}cubed",
             "value": round(per_step * 1e3, 1), "unit": "ms/step",
@@ -785,7 +790,7 @@ _BENCHES = {
     "transport_implicit": lambda: bench_transport_implicit(),
     "diffusion_implicit": lambda: bench_diffusion_implicit(),
     "wave_dct_direct": lambda: bench_wave_dct_direct(),
-    "wave_ilu": lambda: bench_wave_ilu(),
+    "wave_ilu": lambda: bench_wave_ilu(32),
     "wave_explicit": lambda: bench_wave_explicit(),
     "pc_iterations": lambda: bench_pc_iterations(),
     "scale_distributed": lambda: bench_scale_distributed(),
