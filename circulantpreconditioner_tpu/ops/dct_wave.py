@@ -152,17 +152,25 @@ class DCTBlockWaveSolver:
     def create(cls, shape_zyx: Sequence[int], dim: int, dt: float, c0: float,
                spacing_xyz, dtype=jnp.float32, precision: str = "high"):
         shape_zyx = tuple(int(v) for v in shape_zyx)
+        ndim = len(shape_zyx)
+        nb = dim + 1
         inv = _np_wall_block_tensor(shape_zyx, dim, dt, c0, spacing_xyz)
         # component axes LEADING (i, j, *grid): the block-solve einsum then
         # contracts matching grid-major layouts instead of transposing the
         # ~24 MB tensor per solve
         inv = np.moveaxis(inv, (-2, -1), (0, 1))
+        # per-axis PER-COMPONENT transform stacks (nb, F, n): component
+        # 1+(ndim-1-a) rides the sine family, the rest the cosine family —
+        # one batched einsum transforms all components in a single sweep
         mats = []
-        for n in shape_zyx:
+        for a, n in enumerate(shape_zyx):
             Tc, Ic = _np_cos_mats(n)
             Ts, Is = _np_sin_mats(n)
-            mats.append(tuple(jnp.asarray(m, dtype=dtype) for m in (Tc, Ic, Ts, Is)))
-        return cls(shape_zyx, dim + 1,
+            sin_comp = 1 + (ndim - 1 - a)
+            T = np.stack([Ts if c == sin_comp else Tc for c in range(nb)])
+            I = np.stack([Is if c == sin_comp else Ic for c in range(nb)])
+            mats.append((jnp.asarray(T, dtype=dtype), jnp.asarray(I, dtype=dtype)))
+        return cls(shape_zyx, nb,
                    (jnp.asarray(inv, dtype=dtype), tuple(mats)), precision)
 
     @property
@@ -173,10 +181,9 @@ class DCTBlockWaveSolver:
     def solve(self, b: jax.Array) -> jax.Array:
         """b shaped (*shape_zyx, nb) or flat (N·nb,) cell-major; real.
 
-        Components ride a leading batch axis: per grid axis, the three
-        cosine-type components transform in ONE batched matmul and the
-        axis's sine-type component (its normal velocity) in a second — 2
-        MXU sweeps per axis instead of nb."""
+        Components ride a leading batch axis shared with the per-component
+        transform stacks, so every grid axis is ONE batched einsum per
+        direction — no separate sine pass, no basis-row stitch."""
         was_flat = b.ndim == 1
         g = b.reshape(self.shape_zyx + (self.nb,))
         inv, mats = self.arrays
@@ -187,16 +194,12 @@ class DCTBlockWaveSolver:
         gb = jnp.moveaxis(g, -1, 0)  # (nb, *grid)
 
         def sweep(gb, a, fwd):
-            Tc, Ic, Ts, Is = mats[a]
-            C, Sn = (Tc, Ts) if fwd else (Ic, Is)
+            T, I = mats[a]
+            C = T if fwd else I
             ax = sub[a]
-            spec = f"B{sub},w{ax}->B{sub.replace(ax, 'w')}"
-            sin_comp = 1 + (ndim - 1 - a)  # q of the xyz axis mapped to a
-            out = jnp.einsum(spec, gb, C, preferred_element_type=gb.dtype,
-                             precision=prec)
-            hs = jnp.einsum(spec.replace("B", ""), gb[sin_comp], Sn,
-                            preferred_element_type=gb.dtype, precision=prec)
-            return out.at[sin_comp].set(hs)
+            spec = f"B{sub},Bw{ax}->B{sub.replace(ax, 'w')}"
+            return jnp.einsum(spec, gb, C, preferred_element_type=gb.dtype,
+                              precision=prec)
 
         for a in range(ndim):
             gb = sweep(gb, a, fwd=True)
