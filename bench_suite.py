@@ -313,8 +313,10 @@ def bench_wave_dct_direct(n_side=64):
 
     mesh = cartesian_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
     model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
-    step = model.dct_fft_stepper()
-    U0 = model.initial_state()
+    # field-major loop: the cell-major stepper pays (…,nb)↔(nb,…) relayouts
+    # worth ~6x the whole solve pipeline per step (ops/dct_wave.solve_fm)
+    step = model.dct_fft_stepper_fm()
+    U0 = model.pack_fm(model.initial_state())
 
     @jax.jit
     def run(u, K):
@@ -326,7 +328,8 @@ def bench_wave_dct_direct(n_side=64):
     return {"metric": f"wave_dct_direct_us_per_step_{n_side}cubed",
             "value": round(per * 1e6, 1), "unit": "us/step",
             "unknowns": int(model.divergence.shape[0]),
-            "note": "exact wall-BC direct solve, replaces GMRES+ILU"}
+            "note": "exact wall-BC direct solve (field-major loop), "
+                    "replaces GMRES+ILU"}
 
 
 def bench_wave_ilu(n_side=32):

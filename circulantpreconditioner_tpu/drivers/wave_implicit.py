@@ -59,8 +59,10 @@ def main(argv=None):
         # direct block-circulant solve replaces GMRES entirely
         step = model.block_fft_stepper()
     elif args.pc == "dctfft":
-        # direct wall-BC DCT/DST solve replaces GMRES entirely
-        step = model.dct_fft_stepper()
+        # direct wall-BC DCT/DST solve replaces GMRES entirely; field-major
+        # loop (the per-step relayouts cost ~6x the solve, dct_wave.solve_fm)
+        step = model.dct_fft_stepper_fm()
+        fm = True
     else:
         # try the field-major GMRES loop first — the cell-major PC stack
         # (including a host inversion of every diagonal block) is only

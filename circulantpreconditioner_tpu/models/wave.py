@@ -60,6 +60,14 @@ def _blockfft_step_impl(op, U):
     return U1, jnp.linalg.norm(U1 - U)
 
 
+@jax.jit
+def _dctfft_step_fm_impl(op, G):
+    """Field-major direct step: G (nb, nC) — op.shape_zyx is static aux."""
+    shp = G.shape
+    G1 = op.solve_fm(G.reshape((op.nb,) + op.shape_zyx)).reshape(shp)
+    return G1, jnp.linalg.norm(G1 - G)
+
+
 def _identity_plus(D, U):
     return U + D(U)
 
@@ -349,6 +357,22 @@ class WaveSystem:
         op = DCTBlockWaveSolver.create(shape_zyx, self.dim, self.dt, self.c0,
                                        self.mesh.spacing, dtype=self.dtype)  # type: ignore[attr-defined]
         return lambda U: _blockfft_step_impl(op, U)
+
+    def dct_fft_stepper_fm(self):
+        """FIELD-MAJOR DCT/DST direct stepper: state (nb, nC) (pack_fm /
+        unpack_fm at the I/O boundaries). The per-step (…,nb)↔(nb,…)
+        relayouts the cell-major stepper pays cost ~6× the entire solve
+        pipeline at 64³ (ops/dct_wave.solve_fm docstring) — this is the
+        production loop."""
+        from circulantpreconditioner_tpu.ops.dct_wave import DCTBlockWaveSolver
+
+        if self._homogeneous_bc() != "wall":
+            raise ValueError("dct_fft_stepper needs a structured mesh with "
+                             "uniform Wall boundaries")
+        shape_zyx = tuple(reversed(self.mesh.structured_shape))  # type: ignore[attr-defined]
+        op = DCTBlockWaveSolver.create(shape_zyx, self.dim, self.dt, self.c0,
+                                       self.mesh.spacing, dtype=self.dtype)  # type: ignore[attr-defined]
+        return lambda G: _dctfft_step_fm_impl(op, G)
 
     def block_fft_stepper(self, method: str = "auto"):
         """Block-circulant direct solve per step (periodic structured grids).

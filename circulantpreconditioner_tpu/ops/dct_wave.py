@@ -178,20 +178,20 @@ class DCTBlockWaveSolver:
         return self.nb
 
     @jax.jit
-    def solve(self, b: jax.Array) -> jax.Array:
-        """b shaped (*shape_zyx, nb) or flat (N·nb,) cell-major; real.
+    def solve_fm(self, gb: jax.Array) -> jax.Array:
+        """FIELD-MAJOR solve: gb (nb, *shape_zyx) → same shape; real.
 
-        Components ride a leading batch axis shared with the per-component
+        Components ride the leading batch axis shared with the per-component
         transform stacks, so every grid axis is ONE batched einsum per
-        direction — no separate sine pass, no basis-row stitch."""
-        was_flat = b.ndim == 1
-        g = b.reshape(self.shape_zyx + (self.nb,))
+        direction. This is the whole pipeline — measured 129 µs at 64³ on
+        one v5e. The cell-major `solve` wraps it in the (…, nb)↔(nb, …)
+        relayout pair, which costs ~6× the pipeline itself (~770 µs — the
+        same minor-axis relayout cliff as the stencil SpMV, PROFILE.md);
+        production loops should stay field-major and pay it only at I/O."""
         inv, mats = self.arrays
         prec = _PRECISIONS[self.precision]
         ndim = len(self.shape_zyx)
         sub = "zyx"[3 - ndim:]
-
-        gb = jnp.moveaxis(g, -1, 0)  # (nb, *grid)
 
         def sweep(gb, a, fwd):
             T, I = mats[a]
@@ -207,7 +207,14 @@ class DCTBlockWaveSolver:
                         preferred_element_type=gb.dtype, precision=prec)
         for a in range(ndim):
             gb = sweep(gb, a, fwd=False)
+        return gb
 
+    @jax.jit
+    def solve(self, b: jax.Array) -> jax.Array:
+        """b shaped (*shape_zyx, nb) or flat (N·nb,) cell-major; real."""
+        was_flat = b.ndim == 1
+        g = b.reshape(self.shape_zyx + (self.nb,))
+        gb = self.solve_fm(jnp.moveaxis(g, -1, 0))
         x = jnp.moveaxis(gb, 0, -1)
         return x.reshape(-1) if was_flat else x
 

@@ -92,3 +92,20 @@ def test_wave_implicit_driver_dct2l(tmp_path):
          "--ntmax", "2", "--tmax", "1.0", "--result-dir", str(tmp_path)]
     )
     assert np.isfinite(np.asarray(res.state)).all()
+
+
+def test_field_major_stepper_matches_cell_major():
+    """dct_fft_stepper_fm (production loop: no per-step (…,nb)↔(nb,…)
+    relayouts) follows the identical trajectory to the cell-major stepper."""
+    mesh = cartesian_mesh(((0, 1), (0, 0.8), (0, 1.2)), (5, 4, 3))
+    model = WaveSystem(mesh, cfl=300.0, dtype=jnp.float64)
+    step = model.dct_fft_stepper()
+    step_fm = model.dct_fft_stepper_fm()
+    U = model.initial_state()
+    G = model.pack_fm(U)
+    for _ in range(4):
+        U, dU = step(U)
+        G, dG = step_fm(G)
+        np.testing.assert_allclose(float(dG), float(dU), rtol=1e-12)
+    np.testing.assert_allclose(model.unpack_fm(G), np.asarray(U), rtol=1e-12,
+                               atol=1e-9 * float(jnp.abs(U).max()))
