@@ -77,12 +77,18 @@ class WindowedBlockOperator:
 
     @classmethod
     def from_block_coo(cls, n_brows: int, brows, bcols, blocks,
-                       G: int = 8, unit: int = 2, dtype=jnp.float32):
-        """Build from block-COO (duplicates summed). Host-side, O(nnzb)."""
+                       G: int = 8, unit: int | None = None, dtype=jnp.float32):
+        """Build from block-COO (duplicates summed). Host-side, O(nnzb).
+
+        unit=None picks the smallest unit giving ≥ 8 scalars (32 B) per
+        gathered row — the descriptor-vs-padding sweet spot measured for
+        b=4 (unit=2); scalar operators (b=1) get unit=8 by the same rule."""
         brows = np.asarray(brows, dtype=np.int64)
         bcols = np.asarray(bcols, dtype=np.int64)
         blocks = np.asarray(blocks, dtype=np.float64)
         b = blocks.shape[-1]
+        if unit is None:
+            unit = max(1, -(-8 // b))
         ncl = -(-n_brows // G)
 
         order = np.argsort(brows // G, kind="stable")
@@ -118,14 +124,14 @@ class WindowedBlockOperator:
                    jnp.asarray(W, dtype=dtype))
 
     @classmethod
-    def from_bsr(cls, A, G: int = 8, unit: int = 2, dtype=None):
+    def from_bsr(cls, A, G: int = 8, unit: int | None = None, dtype=None):
         return cls.from_block_coo(
             A.n_brows, np.asarray(A.brow_ids), np.asarray(A.indices),
             np.asarray(A.blocks), G=G, unit=unit,
             dtype=dtype or A.blocks.dtype)
 
     @classmethod
-    def from_csr(cls, A, G: int = 8, unit: int = 2, dtype=None):
+    def from_csr(cls, A, G: int = 8, unit: int | None = None, dtype=None):
         """Scalar (b=1) variant from a CSRMatrix."""
         sp = A.to_scipy().tocoo()
         return cls.from_block_coo(A.shape[0], sp.row, sp.col,
