@@ -269,22 +269,21 @@ class ILU0Preconditioner:
             vals_g = np.zeros((n, Kg), dtype=np.float64)
             cols_g[sel_rows, pos] = sel_cols
             vals_g[sel_rows, pos] = sel_vals
+            # stay NumPy here: one jnp.asarray per level means hundreds of
+            # tiny host→device transfers (~0.5 s each through the axon
+            # tunnel — measured 8 min of "factor" time at 32³); conversion
+            # happens once per triangle below
             levels = []
             for rows in rows_levels:
                 k = max(int(deg[rows].max()) if len(rows) else 0, 1)
-                levels.append(
-                    (
-                        jnp.asarray(rows.astype(np.int32)),
-                        jnp.asarray(cols_g[rows, :k]),
-                        jnp.asarray(vals_g[rows, :k], dtype=dtype),
-                    )
-                )
+                levels.append((rows.astype(np.int32), cols_g[rows, :k],
+                               vals_g[rows, :k]))
             return levels
 
-        self._lower_levels = build_tri(True)
-        self._upper_levels = build_tri(False)
+        lower_np = build_tri(True)
+        upper_np = build_tri(False)
         self._dinv = jnp.asarray(1.0 / f[diag_pos], dtype=dtype)
-        self.n_levels = (len(self._lower_levels), len(self._upper_levels))
+        self.n_levels = (len(lower_np), len(upper_np))
         if schedule == "auto":
             schedule = ("scan" if max(self.n_levels) > self._SCAN_THRESHOLD
                         else "unrolled")
@@ -292,8 +291,15 @@ class ILU0Preconditioner:
             raise ValueError(f"schedule must be auto|unrolled|scan, got {schedule}")
         self.schedule = schedule
         if schedule == "scan":
-            self._lower_stack = _stack_levels(self._lower_levels, n)
-            self._upper_stack = _stack_levels(self._upper_levels, n)
+            # levels go to device only as the three stacked arrays
+            self._lower_stack = _stack_levels(lower_np, n, dtype)
+            self._upper_stack = _stack_levels(upper_np, n, dtype)
+            self._lower_levels = self._upper_levels = None
+        else:
+            to_dev = lambda lv: [(jnp.asarray(r), jnp.asarray(c),
+                                  jnp.asarray(v, dtype=dtype)) for r, c, v in lv]
+            self._lower_levels = to_dev(lower_np)
+            self._upper_levels = to_dev(upper_np)
 
     def apply(self, r: jax.Array) -> jax.Array:
         """x = U⁻¹ L⁻¹ r (unit-diagonal L)."""
@@ -312,7 +318,7 @@ class ILU0Preconditioner:
         return self.apply(r)
 
 
-def _stack_levels(levels, n: int):
+def _stack_levels(levels, n: int, dtype=None):
     """Pad per-level (rows, cols, vals) tables to one uniform (nlev, R, K)
     stack for lax.scan. Padding rows scatter into a sentinel slot at index n
     (the working vector is extended by one); padding cols read slot 0 with
@@ -324,11 +330,12 @@ def _stack_levels(levels, n: int):
     cols = np.zeros((nlev, R, K), dtype=np.int32)
     vals = np.zeros((nlev, R, K), dtype=np.asarray(levels[0][2]).dtype)
     for l, (r_, c_, v_) in enumerate(levels):
-        m, k = c_.shape
+        m, k = np.asarray(c_).shape
         rows[l, :m] = np.asarray(r_)
         cols[l, :m, :k] = np.asarray(c_)
         vals[l, :m, :k] = np.asarray(v_)
-    return jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)
+    return (jnp.asarray(rows), jnp.asarray(cols),
+            jnp.asarray(vals, dtype=dtype) if dtype is not None else jnp.asarray(vals))
 
 
 def _ilu_apply_scan(lower_stack, upper_stack, dinv, r):
