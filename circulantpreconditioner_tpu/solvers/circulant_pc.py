@@ -40,7 +40,14 @@ def derive_grid_context(mesh: Mesh, velocity, dt: float):
     """n_d = round(nbCells^(1/dim)) per axis and λ_d = a_d·dt/Δ_d from the
     mesh bounding box — getFFTPrec3DContext parity (PCSHELLFft_3D.cxx:122-148,
     with its ⌊cbrt⌋ replaced by rounding, which recovers exact n for perfect
-    cubes instead of n-1 from floating-point floor)."""
+    cubes instead of n-1 from floating-point floor).
+
+    The reference's sizing heuristic is measured-optimal, not just parity:
+    refining the surrogate grid past n ≈ nbCells^(1/dim) makes the PC WORSE
+    (kershaw 16³ wave dct2lm: 27 its at 1×, 40 at 1.5×, divergence at 2× —
+    round 4). Finer voxels turn the projection into a near-permutation of
+    the warped mesh, amplifying the cartesian operator's geometric mismatch
+    instead of averaging it out."""
     dim = mesh.dim
     n_side = int(round(mesh.n_cells ** (1.0 / dim)))
     n_xyz = (max(n_side, 2),) * dim
