@@ -13,6 +13,7 @@ from circulantpreconditioner_tpu.parallel.multihost import (  # noqa: F401
     init_multihost,
 )
 from circulantpreconditioner_tpu.parallel.stencil_dist import SlabStencilOperator  # noqa: F401
+from circulantpreconditioner_tpu.parallel.window_dist import HaloWindowOperator  # noqa: F401
 from circulantpreconditioner_tpu.parallel.pc_dist import (  # noqa: F401
     DistributedBlockCirculantPC,
     SlabBlockCirculantSolver,
