@@ -163,12 +163,28 @@ def _main_sharded(args, mesh, model, dtype):
     D = model.divergence
     b = D.block_size
     A = D.to_csr(dtype)
-    try:
-        As = HaloELLMatrix(A, dm, row_multiple=b)
-        kind = f"halo ppermute (w={As.halo})"
-    except ValueError:
-        As = ShardedELLMatrix(A, dm, row_multiple=b)
-        kind = "all-gather"
+    As = None
+    if getattr(mesh, "bandwidth_ordered", False):
+        # RCM-ordered unstructured mesh (tetra fixture families): the
+        # clustered-window SpMV sharded with unit-halo ppermute exchange
+        try:
+            from circulantpreconditioner_tpu.ops.window_spmv import (
+                WindowedBlockOperator,
+            )
+            from circulantpreconditioner_tpu.parallel import HaloWindowOperator
+
+            As = HaloWindowOperator(
+                WindowedBlockOperator.from_bsr(D, dtype=dtype), dm)
+            kind = f"halo windowed (wu={As.halo_units} units)"
+        except ValueError:
+            As = None
+    if As is None:
+        try:
+            As = HaloELLMatrix(A, dm, row_multiple=b)
+            kind = f"halo ppermute (w={As.halo})"
+        except ValueError:
+            As = ShardedELLMatrix(A, dm, row_multiple=b)
+            kind = "all-gather"
     print(f"-- row-sharded over {dm.shape} devices: {kind} SpMV "
           f"(n={As.n}, padded {As.n_padded})")
 
