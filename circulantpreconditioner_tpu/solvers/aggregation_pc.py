@@ -1,0 +1,220 @@
+"""Aggregation multilevel (V-cycle) preconditioner for warped unstructured
+meshes — the adaptive coarse space the cartesian projection PC cannot be.
+
+Round-4 measured negative result: every geometric-sampling projection onto a
+cartesian surrogate grid is neutral-to-divergent on the strongly warped FVCA6
+fixtures (3DKershawTetra*, Kershaw2.med — the meshes the reference's own
+benchmark ladder anchors on, /root/reference/meshes/README.md:22-40), leaving
+point-block Jacobi as the only working PC there (186 its at KTetra2). This
+module replaces the *geometric* surrogate with an *algebraic* one: the coarse
+operators are Galerkin restrictions of the true assembled operator, so they
+are exact on the coarse space regardless of how warped the geometry is.
+
+Design (all choices measured on 3DKershawTetra1, scipy prototype, GMRES
+tol 1e-5 vs pbjacobi 291 its):
+
+- **Contiguous aggregation**: cells are already RCM-ordered at load
+  (mesh/topology.renumber_bandwidth), so consecutive index chunks of
+  `factor` cells are face-coherent aggregates. Measured equal to greedy
+  BFS aggregation (88 vs 89 its two-level) — and the grid-transfer
+  operators collapse to reshape/broadcast with ZERO gathers on device.
+- **Piecewise-constant P, mean R** (R·P = I). Smoothed prolongators
+  (I − ωD⁻¹A)P DIVERGE on this operator (upwind wave system at cfl≈333 is
+  far from SPD; measured 2010 its unconverged) — plain aggregation it is.
+- **V(1,1) cycle, point-block-Jacobi smoother** at every level, dense
+  bottom inverse (one MXU matmul). Two-level-exact at factor 4 measured 88
+  its; the recursive V-cycle keeps 103 of it at bottom size ≈ n/16.
+- Coarse-level SpMVs ride the clustered-window dense operator
+  (ops/window_spmv.py) — contiguous aggregation preserves the RCM
+  bandwidth, so windows stay tight.
+
+Reference parity: this finishes the PCSHELL program of
+/root/reference/src/PCSHELLFft_3D.cxx:101-151 + ToDo.md:1 on the meshes the
+reference actually benchmarks, where its intended cartesian intersection
+matrix provably cannot work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from circulantpreconditioner_tpu.ops.csr import BSRMatrix
+from circulantpreconditioner_tpu.ops.window_spmv import WindowedBlockOperator
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class _Level:
+    """One multigrid level: operator apply, smoother blocks, transfer data."""
+
+    A: Any              # callable pytree (Partial / WindowedBlockOperator.matvec_partial)
+    Dinv: jax.Array     # (n, b, b) inverted point-blocks of A (smoother)
+    cnt_inv: jax.Array  # (n_agg,) 1/|aggregate| for the mean restriction
+    n: int              # block rows at this level
+    b: int              # block size
+    factor: int         # aggregation factor to the next level
+    n_agg: int          # block rows at the next level
+
+    def tree_flatten(self):
+        return ((self.A, self.Dinv, self.cnt_inv),
+                (self.n, self.b, self.factor, self.n_agg))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        A, Dinv, cnt_inv = children
+        return cls(A, Dinv, cnt_inv, *aux)
+
+
+def _smooth(L: _Level, omega, r):
+    z = jnp.einsum("nij,nj->ni", L.Dinv, r.reshape(-1, L.b)).reshape(-1)
+    return omega * z if omega != 1.0 else z
+
+
+def _restrict(L: _Level, r):
+    pad = L.n_agg * L.factor - L.n
+    rb = r.reshape(-1, L.b)
+    if pad:
+        rb = jnp.pad(rb, ((0, pad), (0, 0)))
+    s = rb.reshape(L.n_agg, L.factor, L.b).sum(axis=1)
+    return (s * L.cnt_inv[:, None]).reshape(-1)
+
+
+def _prolong(L: _Level, zc):
+    zb = jnp.broadcast_to(zc.reshape(L.n_agg, 1, L.b),
+                          (L.n_agg, L.factor, L.b))
+    return zb.reshape(-1, L.b)[:L.n].reshape(-1)
+
+
+@jax.tree_util.register_pytree_node_class
+class AggregationVCyclePC:
+    """M⁻¹ r ≈ A⁻¹ r via one V(pre,post) cycle over Galerkin coarse levels.
+
+    Built host-side from the assembled fine operator; apply is one jittable
+    pipeline of reshapes, batched (b×b) einsums, windowed SpMVs and a dense
+    bottom matmul — no gathers, no scans."""
+
+    def __init__(self, levels, bot_inv, n_smooth=(1, 1), omega=1.0):
+        self.levels = tuple(levels)
+        self.bot_inv = bot_inv
+        self.n_smooth = tuple(n_smooth)
+        self.omega = float(omega)
+
+    def tree_flatten(self):
+        return ((self.levels, self.bot_inv), (self.n_smooth, self.omega))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, bot_inv = children
+        return cls(levels, bot_inv, *aux)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_bsr(cls, D: BSRMatrix, A0_apply=None, shift: float = 1.0,
+                 factor: int = 4, bottom_max: int = 1200,
+                 n_smooth=(1, 1), omega: float = 1.0, dtype=jnp.float32,
+                 max_levels: int = 10, window_G: int = 8):
+        """Build from the assembled FV block operator D, preconditioning
+        A = shift·I + D (the implicit FV system). `A0_apply` supplies the
+        production fine-level matvec (windowed / varying-stencil); when None
+        a windowed operator is built from D."""
+        import scipy.sparse as sp
+
+        b = D.block_size
+        A0 = (shift * sp.identity(D.shape[0], format="csr")
+              + D.to_csr(dtype).to_scipy().astype(np.float64)).tocsr()
+        if A0_apply is None:
+            W0 = WindowedBlockOperator.from_bsr(D, G=window_G, dtype=dtype)
+            A0_apply = jax.tree_util.Partial(
+                _shifted_apply, W0.matvec_partial(), jnp.asarray(shift, dtype))
+
+        levels = []
+        A_l = A0
+        apply_l = A0_apply
+        n_l = A0.shape[0] // b
+        for _ in range(max_levels):
+            if n_l <= bottom_max:
+                break
+            n_agg = -(-n_l // factor)
+            agg = np.arange(n_l) // factor
+            cnt = np.bincount(agg, minlength=n_agg).astype(np.float64)
+            P_a = sp.csr_matrix((np.ones(n_l), (np.arange(n_l), agg)),
+                                shape=(n_l, n_agg))
+            R_a = sp.csr_matrix((1.0 / cnt[agg], (agg, np.arange(n_l))),
+                                shape=(n_agg, n_l))
+            eye_b = sp.identity(b, format="csr")
+            P = sp.kron(P_a, eye_b).tocsr()
+            R = sp.kron(R_a, eye_b).tocsr()
+            levels.append(_Level(
+                A=apply_l,
+                Dinv=_block_diag_inv(A_l, b, dtype),
+                cnt_inv=jnp.asarray(1.0 / cnt, dtype),
+                n=n_l, b=b, factor=factor, n_agg=n_agg,
+            ))
+            A_l = (R @ A_l @ P).tocsr()
+            n_l = n_agg
+            W_l = _windowed_from_scipy_bsr(A_l, b, n_l, window_G, dtype)
+            apply_l = W_l.matvec_partial()
+
+        bot_inv = jnp.asarray(np.linalg.inv(A_l.toarray()), dtype)
+        return cls(levels, bot_inv, n_smooth=n_smooth, omega=omega)
+
+    # -- apply --------------------------------------------------------------
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        return _vcycle(self.levels, self.bot_inv, self.n_smooth, self.omega,
+                       0, r)
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        return self.apply(r)
+
+    def apply_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(type(self).apply, self)
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels) + 1
+
+
+def _vcycle(levels, bot_inv, n_smooth, omega, l, r):
+    if l == len(levels):
+        return bot_inv @ r
+    L = levels[l]
+    z = _smooth(L, omega, r)
+    for _ in range(n_smooth[0] - 1):
+        z = z + _smooth(L, omega, r - L.A(z))
+    rc = _restrict(L, r - L.A(z))
+    z = z + _prolong(L, _vcycle(levels, bot_inv, n_smooth, omega, l + 1, rc))
+    for _ in range(n_smooth[1]):
+        z = z + _smooth(L, omega, r - L.A(z))
+    return z
+
+
+def _shifted_apply(Dmv, shift, x):
+    return shift * x + Dmv(x)
+
+
+def _block_diag_inv(A_csr, b: int, dtype) -> jax.Array:
+    """(n, b, b) inverted diagonal blocks of a scipy CSR with b×b block
+    structure."""
+    coo = A_csr.tocoo()
+    n = A_csr.shape[0] // b
+    br, bc = coo.row // b, coo.col // b
+    m = br == bc
+    blocks = np.zeros((n, b, b))
+    blocks[br[m], coo.row[m] % b, coo.col[m] % b] = coo.data[m]
+    return jnp.asarray(np.linalg.inv(blocks), dtype)
+
+
+def _windowed_from_scipy_bsr(A_csr, b: int, n_brows: int, G: int, dtype):
+    """Clustered-window operator from a scipy CSR with b×b block structure."""
+    Ab = A_csr.tobsr(blocksize=(b, b))
+    brows = np.repeat(np.arange(n_brows), np.diff(Ab.indptr))
+    return WindowedBlockOperator.from_block_coo(
+        n_brows, brows, Ab.indices, Ab.data, G=G, dtype=dtype)

@@ -217,6 +217,34 @@ def build_projection_matrices(
     return P, P_back
 
 
+def _identity_projection_applies(mesh: Mesh, n_xyz) -> bool:
+    """True when the derived surrogate grid IS the mesh's recovered grid:
+    `topology_shape == n_xyz` with one cell per site. Cells of a recovered
+    grid are numbered x-fastest lexicographically (mesh/topology.py:129-147),
+    exactly the projection's voxel flattening — so the geometric sampling
+    matrices WOULD collapse to the identity.
+
+    MEASURED NEGATIVE RESULT (round 5): identity projection DIVERGES on
+    kershaw 16³ (dct2lm: 1000 its unconverged vs 27 for sampling; kershaw 8³
+    both 10). The sampling's apparent "mis-sampling" under warp — voxel-edge
+    sample points catching neighbouring cells — is load-bearing local
+    averaging; removing it makes the projection the near-permutation limit
+    round 4 already measured to be harmful (finer surrogate grids: 27/40/
+    divergence at 1×/1.5×/2×). Identity therefore stays OPT-IN
+    (projection="identity"), never auto-selected."""
+    ts = getattr(mesh, "topology_shape", None)
+    cps = int(getattr(mesh, "cells_per_site", 1) or 1)
+    return ts is not None and tuple(ts) == tuple(n_xyz) and cps == 1
+
+
+def _block_identity_apply(op, r):
+    return op.solve(r)
+
+
+def _scalar_identity_apply(solver, r):
+    return solver.solve(r.reshape(solver.shape_zyx)).reshape(-1)
+
+
 class BlockCirculantProjectionPC:
     """Block-circulant projection PC for the WAVE system on unstructured
     meshes: M⁻¹ = P_back ⊗ I_{dim+1} · C_blk⁻¹ · P ⊗ I_{dim+1}, where C_blk
@@ -235,7 +263,8 @@ class BlockCirculantProjectionPC:
     """
 
     def __init__(self, mesh: Mesh, dt: float, c0: float, dtype=jnp.float32,
-                 samples_per_axis: int = 3, use_matmul_dft: bool = True):
+                 samples_per_axis: int = 3, use_matmul_dft: bool = True,
+                 projection: str = "auto"):
         from circulantpreconditioner_tpu.ops.assembly import wave_block_stencil
         from circulantpreconditioner_tpu.ops.circulant import BlockCirculantOperator
 
@@ -257,11 +286,28 @@ class BlockCirculantProjectionPC:
             self.op = BlockCirculantOperator.from_stencil(
                 tuple(reversed(n_xyz)), offsets, blocks, dtype
             )
-        self.P, self.P_back = build_projection_matrices(
-            mesh, n_xyz, bbox, samples_per_axis, dtype
-        )
-        # pytree-callable (runtime-parameter) apply — see gmres.make_gmres
-        self.apply = jax.tree_util.Partial(_block_proj_apply, self.P, self.op, self.P_back)
+        self._set_projection(mesh, n_xyz, bbox, samples_per_axis, dtype,
+                             projection, _block_proj_apply,
+                             _block_identity_apply)
+
+    def _set_projection(self, mesh, n_xyz, bbox, samples_per_axis, dtype,
+                        projection, proj_apply, ident_apply):
+        """Shared tail of the block-PC constructors. projection="identity"
+        (OPT-IN; see _identity_projection_applies for why never auto) maps
+        recovered-grid cells 1:1 to voxels; default is geometric sampling."""
+        if projection == "identity" and _identity_projection_applies(mesh, n_xyz):
+            self.P = self.P_back = None
+            self.projection = "identity"
+            self.apply = jax.tree_util.Partial(ident_apply, self.op)
+        else:
+            self.P, self.P_back = build_projection_matrices(
+                mesh, n_xyz, bbox, samples_per_axis, dtype,
+                method=projection if projection in ("sample", "volume") else "sample",
+            )
+            self.projection = "sample"
+            # pytree-callable (runtime-parameter) apply — see gmres.make_gmres
+            self.apply = jax.tree_util.Partial(proj_apply, self.P, self.op,
+                                               self.P_back)
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
@@ -286,7 +332,8 @@ class DCTBlockProjectionPC:
     (/root/reference/src/WaveSystem.cxx:150-157)."""
 
     def __init__(self, mesh: Mesh, dt: float, c0: float, dtype=jnp.float32,
-                 samples_per_axis: int = 3, precision: str = "high"):
+                 samples_per_axis: int = 3, precision: str = "high",
+                 projection: str = "auto"):
         from circulantpreconditioner_tpu.ops.dct_wave import DCTBlockWaveSolver
 
         n_xyz, spacing, _, bbox = derive_grid_context(mesh, [0.0] * mesh.dim, dt)
@@ -295,10 +342,9 @@ class DCTBlockProjectionPC:
         self.op = DCTBlockWaveSolver.create(
             tuple(reversed(n_xyz)), mesh.dim, dt, c0, spacing, dtype, precision
         )
-        self.P, self.P_back = build_projection_matrices(
-            mesh, n_xyz, bbox, samples_per_axis, dtype
-        )
-        self.apply = jax.tree_util.Partial(_block_proj_apply, self.P, self.op, self.P_back)
+        BlockCirculantProjectionPC._set_projection(
+            self, mesh, n_xyz, bbox, samples_per_axis, dtype, projection,
+            _block_proj_apply, _block_identity_apply)
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
@@ -308,7 +354,8 @@ class CirculantProjectionPC:
     """M⁻¹ = P_back · C⁻¹ · P for GMRES on unstructured FV operators."""
 
     def __init__(self, mesh: Mesh, velocity, dt: float, dtype=jnp.float32,
-                 samples_per_axis: int = 3, use_matmul_dft: bool = True):
+                 samples_per_axis: int = 3, use_matmul_dft: bool = True,
+                 projection: str = "auto"):
         n_xyz, spacing, lambdas_xyz, bbox = derive_grid_context(mesh, velocity, dt)
         self.n_xyz = n_xyz
         shape_zyx = tuple(reversed(n_xyz))
@@ -316,12 +363,18 @@ class CirculantProjectionPC:
         op = CirculantTransportOperator.create(shape_zyx, lambdas_zyx, dtype)
         self.op = op
         self.solver = MatmulCirculantSolver.from_operator(op) if use_matmul_dft else op
-        self.P, self.P_back = build_projection_matrices(
-            mesh, n_xyz, bbox, samples_per_axis, dtype
-        )
-        self.apply = jax.tree_util.Partial(
-            _scalar_proj_apply, self.P, self.solver, self.P_back
-        )
+        if projection == "identity" and _identity_projection_applies(mesh, n_xyz):
+            self.P = self.P_back = None
+            self.projection = "identity"
+            self.apply = jax.tree_util.Partial(_scalar_identity_apply, self.solver)
+        else:
+            self.P, self.P_back = build_projection_matrices(
+                mesh, n_xyz, bbox, samples_per_axis, dtype
+            )
+            self.projection = "sample"
+            self.apply = jax.tree_util.Partial(
+                _scalar_proj_apply, self.P, self.solver, self.P_back
+            )
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
@@ -340,7 +393,8 @@ class DiffusionProjectionPC:
     (I + dt·ν·L_h)⁻¹ in frequency space, project back."""
 
     def __init__(self, mesh: Mesh, dt: float, nu: float, dtype=jnp.float32,
-                 samples_per_axis: int = 3, use_matmul_dft: bool = True):
+                 samples_per_axis: int = 3, use_matmul_dft: bool = True,
+                 projection: str = "auto"):
         from circulantpreconditioner_tpu.ops.assembly import diffusion_stencil
         from circulantpreconditioner_tpu.ops.circulant import BlockCirculantOperator
 
@@ -361,10 +415,9 @@ class DiffusionProjectionPC:
             self.op = BlockCirculantOperator.from_stencil(
                 tuple(reversed(n_xyz)), offsets, blocks, dtype
             )
-        self.P, self.P_back = build_projection_matrices(
-            mesh, n_xyz, bbox, samples_per_axis, dtype
-        )
-        self.apply = jax.tree_util.Partial(_block_proj_apply, self.P, self.op, self.P_back)
+        BlockCirculantProjectionPC._set_projection(
+            self, mesh, n_xyz, bbox, samples_per_axis, dtype, projection,
+            _block_proj_apply, _block_identity_apply)
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)

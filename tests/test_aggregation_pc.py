@@ -1,0 +1,95 @@
+"""Aggregation multilevel V-cycle PC (solvers/aggregation_pc.py) — the
+adaptive coarse space for the warped FVCA6 fixture meshes where the
+cartesian projection PC measurably fails (round-4 negative result;
+/root/reference/src/PCSHELLFft_3D.cxx:101-151 is the unfinished reference
+analog)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh, tet_mesh
+from circulantpreconditioner_tpu.models import WaveSystem
+from circulantpreconditioner_tpu.solvers import make_gmres, preconditioners as pcs
+from circulantpreconditioner_tpu.solvers.aggregation_pc import (
+    AggregationVCyclePC,
+    _Level,
+    _prolong,
+    _restrict,
+)
+
+
+def _wave(n_side=8, mesh_fn=kershaw_mesh):
+    mesh = mesh_fn(((0.0, 1.0),) * 3, (n_side,) * 3)
+    return WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+
+
+def test_transfers_are_partition_of_unity():
+    """R·P = I for the mean-restriction / piecewise-constant pair, including
+    a ragged final aggregate."""
+    n, b, factor = 11, 4, 4
+    n_agg = -(-n // factor)
+    cnt = np.bincount(np.arange(n) // factor, minlength=n_agg).astype(float)
+    L = _Level(A=None, Dinv=jnp.zeros((n, b, b)),
+               cnt_inv=jnp.asarray(1.0 / cnt, jnp.float32),
+               n=n, b=b, factor=factor, n_agg=n_agg)
+    zc = jnp.asarray(np.random.default_rng(0).standard_normal(n_agg * b),
+                     jnp.float32)
+    np.testing.assert_allclose(np.asarray(_restrict(L, _prolong(L, zc))),
+                               np.asarray(zc), rtol=1e-6)
+
+
+def test_vcycle_is_exact_on_bottom_level():
+    """With no coarsening needed (n <= bottom_max) the PC is the exact dense
+    inverse of shift·I + D."""
+    model = _wave(4)
+    pc = AggregationVCyclePC.from_bsr(model.divergence, shift=1.0,
+                                      bottom_max=10**6)
+    assert pc.n_levels == 1
+    r = jnp.asarray(np.random.default_rng(1).standard_normal(
+        model.divergence.shape[0]), jnp.float32)
+    x = pc.apply(r)
+    Ax = model.implicit_matvec()(x)
+    assert float(jnp.linalg.norm(Ax - r) / jnp.linalg.norm(r)) < 1e-3
+
+
+def test_vcycle_beats_pbjacobi_iterations():
+    """The VERDICT-r4 gate in miniature: on a warped kershaw mesh the
+    V-cycle PC must converge in substantially fewer GMRES iterations than
+    point-block Jacobi (measured 3DKershawTetra1: 46 vs 180)."""
+    model = _wave(8)
+    A_op = model.implicit_matvec()
+    U0 = model.initial_state()
+    it = {}
+    for name, M in (
+        ("pbjacobi", pcs.pbjacobi(model.divergence, shift=1.0)),
+        ("vcycle", AggregationVCyclePC.from_bsr(
+            model.divergence, A0_apply=A_op, shift=1.0, factor=4,
+            bottom_max=200).apply_partial()),
+    ):
+        out = make_gmres(A_op, M, rtol=1e-5, atol=1e-5, maxiter=500,
+                         side="right", layout="lane")(U0, U0)
+        assert bool(out.converged), name
+        it[name] = int(out.iters)
+    assert it["vcycle"] < 0.6 * it["pbjacobi"], it
+
+
+def test_vcycle_jits_as_runtime_parameter():
+    """The PC pytree must be passable as a jit ARGUMENT (axon 413 rule:
+    operator payloads ride as arguments, never closure constants)."""
+    model = _wave(6, tet_mesh)
+    pc = AggregationVCyclePC.from_bsr(model.divergence, shift=1.0, factor=4,
+                                      bottom_max=100)
+    assert pc.n_levels >= 2
+
+    @jax.jit
+    def apply(pc_, r):
+        return pc_.apply(r)
+
+    r = jnp.asarray(np.random.default_rng(2).standard_normal(
+        model.divergence.shape[0]), jnp.float32)
+    y1 = apply(pc, r)
+    y2 = pc.apply(r)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
+                               atol=1e-5)

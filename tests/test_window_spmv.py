@@ -67,3 +67,40 @@ def test_window_matches_assembled_on_kershawtetra1():
     x = jnp.asarray(np.random.default_rng(0).standard_normal(m.n_cells * 4))
     np.testing.assert_allclose(np.asarray(W.matvec(x)), np.asarray(A.matvec(x)),
                                rtol=1e-12, atol=1e-9)
+
+
+def test_rectangular_multivector_matches_scipy():
+    """Rectangular (n_bcols != n_brows) windowed operator + matvec_multi —
+    the projection-matrix apply path of the two-level PCs
+    (solvers/circulant_pc.py)."""
+    rng = np.random.default_rng(7)
+    n_rows, n_cols, m = 53, 131, 4
+    dens = sp.random(n_rows, n_cols, density=0.08, random_state=3,
+                     format="csr")
+    dens.data[:] = rng.standard_normal(dens.nnz)
+    A = CSRMatrix.from_scipy(dens, dtype=jnp.float64)
+    W = WindowedBlockOperator.from_csr(A, G=8, unit=8)
+    assert W.shape == (n_rows, n_cols)
+    x = rng.standard_normal(n_cols)
+    np.testing.assert_allclose(np.asarray(W.matvec(jnp.asarray(x))),
+                               dens @ x, rtol=1e-12, atol=1e-12)
+    X = rng.standard_normal((n_cols, m))
+    np.testing.assert_allclose(np.asarray(W.matvec_multi(jnp.asarray(X))),
+                               dens @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_empty_cluster_points_at_own_unit():
+    """A cluster with no stored blocks must not reference unit 0 (it would
+    inflate the halo width HaloWindowOperator derives from src)."""
+    rows = np.array([0, 1, 30, 31])
+    cols = np.array([0, 1, 30, 31])
+    blocks = np.ones((4, 1, 1))
+    W = WindowedBlockOperator.from_block_coo(32, rows, cols, blocks, G=8,
+                                             unit=2)
+    src = np.asarray(W.src)
+    # clusters 1 and 2 (rows 8..23) are empty: their src must stay near
+    # their own rows, not at unit 0
+    assert src[1].min() >= 4 and src[2].min() >= 8
+    x = jnp.asarray(np.arange(32, dtype=np.float64))
+    np.testing.assert_allclose(np.asarray(W.matvec(x))[[0, 1, 30, 31]],
+                               [0, 1, 30, 31], rtol=1e-12)
