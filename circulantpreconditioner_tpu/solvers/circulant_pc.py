@@ -304,10 +304,21 @@ class BlockCirculantProjectionPC:
                 mesh, n_xyz, bbox, samples_per_axis, dtype,
                 method=projection if projection in ("sample", "volume") else "sample",
             )
-            self.projection = "sample"
-            # pytree-callable (runtime-parameter) apply — see gmres.make_gmres
-            self.apply = jax.tree_util.Partial(proj_apply, self.P, self.op,
-                                               self.P_back)
+            Pw = _try_window(self.P)
+            Pbw = _try_window(self.P_back)
+            if Pw is not None and Pbw is not None:
+                # clustered-window applies: the CSR element-gather path costs
+                # ~0.13 Gnnz/s on TPU and was the unattributed bulk of the
+                # round-4 kershaw-64³ two-level apply (16.7 ms/it, VERDICT r4
+                # item 2); the windowed form is a row gather + batched GEMV
+                self.projection = "sample-window"
+                self.apply = jax.tree_util.Partial(
+                    _block_proj_apply_win, Pw, self.op, Pbw)
+            else:
+                self.projection = "sample"
+                # pytree-callable (runtime-parameter) apply — see gmres.make_gmres
+                self.apply = jax.tree_util.Partial(proj_apply, self.P, self.op,
+                                                   self.P_back)
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
@@ -319,6 +330,30 @@ def _block_proj_apply(P, op, P_back, r):
     r_cart = P.matvec(rc)  # (n_cart, nb)
     x_cart = op.solve(r_cart.reshape(-1))
     return P_back.matvec(x_cart.reshape(-1, nb)).reshape(-1)
+
+
+def _block_proj_apply_win(Pw, op, Pbw, r):
+    """_block_proj_apply with the projections as clustered-window operators
+    (row gather + batched GEMV over the nb residual components)."""
+    nb = op.m
+    rc = r.reshape(-1, nb)
+    r_cart = Pw.matvec_multi(rc)
+    x_cart = op.solve(r_cart.reshape(-1))
+    return Pbw.matvec_multi(x_cart.reshape(-1, nb)).reshape(-1)
+
+
+def _try_window(P: CSRMatrix, max_bytes: int = 256 * 2**20):
+    """Clustered-window form of a projection CSR, or None when the window
+    padding would exceed `max_bytes` (scattered RCM-vs-raster orderings can
+    blow the per-cluster unions up; recovered-grid meshes measure ~4 MB at
+    32³)."""
+    from circulantpreconditioner_tpu.ops.window_spmv import WindowedBlockOperator
+
+    try:
+        W = WindowedBlockOperator.from_csr(P, G=8, unit=8)
+    except Exception:
+        return None
+    return W if W.window_bytes <= max_bytes else None
 
 
 class DCTBlockProjectionPC:
@@ -371,10 +406,17 @@ class CirculantProjectionPC:
             self.P, self.P_back = build_projection_matrices(
                 mesh, n_xyz, bbox, samples_per_axis, dtype
             )
-            self.projection = "sample"
-            self.apply = jax.tree_util.Partial(
-                _scalar_proj_apply, self.P, self.solver, self.P_back
-            )
+            Pw = _try_window(self.P)
+            Pbw = _try_window(self.P_back)
+            if Pw is not None and Pbw is not None:
+                self.projection = "sample-window"
+                self.apply = jax.tree_util.Partial(
+                    _scalar_proj_apply_win, Pw, self.solver, Pbw)
+            else:
+                self.projection = "sample"
+                self.apply = jax.tree_util.Partial(
+                    _scalar_proj_apply, self.P, self.solver, self.P_back
+                )
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
@@ -384,6 +426,12 @@ def _scalar_proj_apply(P, solver, P_back, r):
     r_cart = P.matvec(r)
     x_cart = solver.solve(r_cart.reshape(solver.shape_zyx)).reshape(-1)
     return P_back.matvec(x_cart)
+
+
+def _scalar_proj_apply_win(Pw, solver, Pbw, r):
+    r_cart = Pw.matvec(r)
+    x_cart = solver.solve(r_cart.reshape(solver.shape_zyx)).reshape(-1)
+    return Pbw.matvec(x_cart)
 
 
 class DiffusionProjectionPC:

@@ -25,6 +25,8 @@ def main():
     init_multihost(f"localhost:{port}", nprocs, pid, local_device_count=2)
     if stage == "pcgmres":
         return pcgmres_stage()
+    if stage == "window":
+        return window_stage()
 
     import jax
     import jax.numpy as jnp
@@ -136,6 +138,68 @@ def pcgmres_stage():
         assert err < 1e-6 * scale, f"solution mismatch: {err} vs scale {scale}"
         print(f"OK process0 pcgmres iters={iters_d} err={err:.3e}", flush=True)
     jax.distributed.shutdown()
+
+
+def window_stage():
+    """Halo clustered-window SpMV GMRES across the real process cluster —
+    the UNSTRUCTURED-mesh analog of pcgmres_stage, on one of the reference's
+    own tetra fixtures (RCM-ordered at load). Mirrors the reference's MPI
+    drivers on meshCube.med (tests/CMakeLists.txt:67-74): row-block layout,
+    one-neighbour unit-halo ghost update (ppermute), parallel Krylov
+    reductions. Asserts iteration and solution parity vs the single-process
+    windowed solve on process 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh import read_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.ops.window_spmv import WindowedBlockOperator
+    from circulantpreconditioner_tpu.parallel.multihost import (
+        gather_to_host0,
+        global_device_mesh,
+    )
+    from circulantpreconditioner_tpu.parallel.pc_dist import sharded_pbjacobi
+    from circulantpreconditioner_tpu.parallel.window_dist import HaloWindowOperator
+    from circulantpreconditioner_tpu.solvers import make_gmres, preconditioners as pcs
+
+    mesh = global_device_mesh()
+    # mesh_tetra_1 (1.7k tets): large enough that the RCM unit-halo fits the
+    # 8-way device block of the n=4 tier (tetra_0's 215 cells do not)
+    km = read_mesh("/root/reference/meshes/3DTetrahedra/mesh_tetra_1.med")
+    model = WaveSystem(km, cfl=333.0, dtype=jnp.float64)
+    D = model.divergence
+    b = D.block_size
+    W = WindowedBlockOperator.from_bsr(D, dtype=jnp.float64)
+    Ah = HaloWindowOperator(W, mesh)
+    U0 = np.asarray(model.initial_state())
+
+    Dinv = np.linalg.inv(np.asarray(D.block_diagonal()) + np.eye(b)[None, :, :])
+    M = sharded_pbjacobi(Dinv, Ah.n_padded, mesh, dtype=jnp.float64)
+    Aop = jax.tree_util.Partial(_implicit_op, Ah.matvec_partial())
+    sol = make_gmres(Aop, M, rtol=1e-8, atol=1e-10, maxiter=500, side="right")
+    bb = Ah.shard_vector(np.concatenate(
+        [U0, np.zeros(Ah.n_padded - U0.shape[0])]))
+    res = sol(bb, bb)
+    jax.block_until_ready(res.x)
+    iters_d = int(np.asarray(res.iters))
+    conv_d = bool(np.asarray(res.converged))
+    x0 = gather_to_host0(res.x)
+
+    import jax as _j
+    if _j.process_index() == 0:
+        M_l = pcs.pbjacobi(D, shift=1.0)
+        sol_l = make_gmres(
+            jax.tree_util.Partial(_implicit_op, W.matvec_partial()), M_l,
+            rtol=1e-8, atol=1e-10, maxiter=500, side="right")
+        res_l = sol_l(jnp.asarray(U0), jnp.asarray(U0))
+        assert conv_d and bool(res_l.converged)
+        assert iters_d == int(res_l.iters), (iters_d, int(res_l.iters))
+        err = np.abs(x0[: D.shape[0]] - np.asarray(res_l.x)).max()
+        scale = np.abs(np.asarray(res_l.x)).max()
+        assert err < 1e-6 * scale, f"solution mismatch: {err} vs scale {scale}"
+        print(f"OK process0 window halo={Ah.halo_units}u iters={iters_d} "
+              f"err={err:.3e}", flush=True)
+    _j.distributed.shutdown()
 
 
 if __name__ == "__main__":

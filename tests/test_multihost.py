@@ -76,3 +76,17 @@ def test_four_process_preconditioned_gmres():
     solution must still match the single-process solve exactly."""
     outs = _run_cluster("pcgmres", timeout=600, nprocs=4)
     assert any("pcgmres iters=" in o for o in outs)
+
+
+def test_two_process_window_gmres():
+    """Halo clustered-window SpMV GMRES across 2 REAL processes — the
+    unstructured-fixture analog of the pcgmres tier (reference MPI drivers
+    on meshCube.med, tests/CMakeLists.txt:67-74)."""
+    outs = _run_cluster("window", timeout=420)
+    assert any("window halo=" in o for o in outs)
+
+
+def test_four_process_window_gmres():
+    """mpiexec -n 4 tier for the halo windowed SpMV GMRES."""
+    outs = _run_cluster("window", timeout=600, nprocs=4)
+    assert any("window halo=" in o for o in outs)
