@@ -749,6 +749,113 @@ def _scipy_implicit_baseline(model, U0, reps=2):
     return best, it[0]
 
 
+def bench_ladder_top(n_side=50):
+    """The TOP rung of the reference's mesh ladder, generated: KershawTetra3
+    (766,976 tets) is an absent large blob in the snapshot
+    (/root/reference/.MISSING_LARGE_BLOBS), so this benches the generated
+    analog — Kershaw-warped hexes split 6-ways, 6·50³ = 750,000 tets ≈ 3.0M
+    wave unknowns (mesh/unstructured.kershaw_tet_mesh). Records the
+    block-sparse supercell SpMV, explicit stepping, and the implicit GMRES
+    step with the geometric-Galerkin grid V-cycle PC (the cartesian
+    projection PC measurably diverges on warped tet meshes — round 5), plus
+    device-resident operator/PC footprints and a scipy CPU baseline."""
+    import jax
+    import jax.numpy as jnp
+
+    from circulantpreconditioner_tpu.mesh import kershaw_tet_mesh
+    from circulantpreconditioner_tpu.models import WaveSystem
+    from circulantpreconditioner_tpu.models.wave import _identity_plus
+    from circulantpreconditioner_tpu.solvers import make_gmres, preconditioners as pcs
+    from circulantpreconditioner_tpu.solvers.aggregation_pc import GridVCyclePC
+    from circulantpreconditioner_tpu.utils import retry_transient
+
+    def dev_bytes(t):
+        return int(sum(l.size * l.dtype.itemsize
+                       for l in jax.tree_util.tree_leaves(t)
+                       if hasattr(l, "dtype")))
+
+    print(f"bench: generating kershaw-tet {n_side}^3 (6x{n_side**3} tets) ...",
+          file=sys.stderr, flush=True)
+    mesh = kershaw_tet_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
+    model_e = WaveSystem(mesh, cfl=1.0 / 3, dtype=jnp.float32)
+    nnz = int(np.count_nonzero(np.asarray(model_e.divergence.blocks)))
+    D_fm = model_e.divergence_op_fm(flat=True)
+    G0 = model_e.pack_fm(model_e.initial_state()).reshape(-1)
+
+    @jax.jit
+    def run_spmv(D_, x, K):
+        def body(i, v):
+            y = D_(v)
+            return y / jnp.maximum(jnp.linalg.norm(y), 1e-30) * jnp.linalg.norm(v)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    retry_transient(lambda: run_spmv(D_fm, G0, 2))
+    np.asarray(run_spmv(D_fm, G0, 2))
+    per_spmv = _dev_time(lambda x, K: run_spmv(D_fm, x, K), G0, K1=20, K2=100)
+
+    @jax.jit
+    def run_exp(D_, u, K):
+        return jax.lax.fori_loop(0, K, lambda i, v: v - D_(v), u)
+
+    retry_transient(lambda: run_exp(D_fm, G0, 2))
+    np.asarray(run_exp(D_fm, G0, 2))
+    per_exp = _dev_time(lambda u, K: run_exp(D_fm, u, K), G0, K1=20, K2=100)
+
+    # implicit: FIELD-MAJOR GMRES (the cell-major supercell operator is the
+    # dense (24×24)-block form — 2.0 GB at this size vs 240 MB block-sparse)
+    print("bench: ladder-top implicit (grid V-cycle PC) ...", file=sys.stderr,
+          flush=True)
+    model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+    A_fm = jax.tree_util.Partial(_identity_plus,
+                                 model.divergence_op_fm(flat=True))
+    pc = GridVCyclePC.from_grid_model(
+        model.divergence, mesh.topology_shape, cells_per_site=6,
+        A0_apply=None, shift=1.0, dtype=jnp.float32)
+    M = pcs.cell_major_adapter(pc.apply_partial(), model.fm_block)
+    U0 = model.pack_fm(model.initial_state()).reshape(-1)
+
+    sol = make_gmres(A_fm, M, rtol=1e-5, atol=1e-5, maxiter=1000,
+                     side="right")
+    out = retry_transient(lambda: sol(U0, U0))
+    iters = int(np.asarray(out.iters))
+    conv = bool(np.asarray(out.converged))
+
+    @jax.jit
+    def run_imp(A_, M_, u, K):
+        s = make_gmres(A_, M_, rtol=1e-5, atol=1e-5, maxiter=1000,
+                       side="right")
+
+        def body(i, v):
+            u_in = U0 + (1e-30 * jnp.linalg.norm(v)) * v
+            return s(u_in, u_in).x
+        return jax.lax.fori_loop(0, K, body, u)
+
+    retry_transient(lambda: run_imp(A_fm, M, U0, 1))
+    np.asarray(run_imp(A_fm, M, U0, 1))
+    per_imp = _dev_time(lambda u, K: run_imp(A_fm, M, u, K), U0, K1=1, K2=3,
+                        reps=2)
+
+    print("bench: ladder-top scipy CPU baseline ...", file=sys.stderr, flush=True)
+    per_base, base_iters = _scipy_implicit_baseline(
+        model, np.asarray(model.initial_state()), reps=1)
+
+    return {"metric": "wave_implicit_step_ms_kershawtet50",
+            "value": round(per_imp * 1e3, 1), "unit": "ms/step",
+            "cells": int(mesh.n_cells), "unknowns": int(model.divergence.shape[0]),
+            "pc": f"grid-vcycle ({pc.n_levels} levels)",
+            "gmres_iters": iters, "converged": conv,
+            "vs_baseline": round(per_base / per_imp, 1),
+            "scipy_baseline_ms_per_step": round(per_base * 1e3, 1),
+            "scipy_baseline_gmres_iters": base_iters,
+            "spmv_route": "block-sparse supercell stencil (field-major)",
+            "spmv_gnnz_per_s": round(nnz / per_spmv / 1e9, 3),
+            "explicit_us_per_step": round(per_exp * 1e6, 1),
+            "operator_dev_mb": round(dev_bytes(D_fm) / 1e6, 1),
+            "pc_dev_mb": round(dev_bytes(pc.apply_partial()) / 1e6, 1),
+            "note": "generated KershawTetra3-rung analog (fixture blob absent); "
+                    "t=0 solve per step (see transport_implicit note)"}
+
+
 def bench_transport_fixture(rel="3DKershaw/Kershaw2.med", label="kershaw2med",
                             K1=5, K2=20):
     """Implicit transport GMRES on a LOADED reference fixture — the
@@ -921,6 +1028,7 @@ _BENCHES = {
     "wave_implicit32": lambda: bench_wave_implicit(32, pc="dct2lm"),
     "wave_implicit64": lambda: bench_wave_implicit(64, pc="dct2lm"),
     "ladder_ktetra2": lambda: bench_fixture_ladder(),
+    "ladder_top": lambda: bench_ladder_top(),
     "ladder_kershaw2": lambda: bench_fixture_ladder(
         "3DKershaw/Kershaw2.med", "kershaw2med", K1=10, K2=40),
     "ladder_tetra6": lambda: bench_fixture_ladder(
@@ -949,6 +1057,7 @@ _BENCH_METRIC_PREFIX = {
     "wave_implicit32": "wave_implicit_step_ms_kershaw32",
     "wave_implicit64": "wave_implicit_step_ms_kershaw64",
     "ladder_ktetra2": "wave_implicit_step_ms_ktetra2",
+    "ladder_top": "wave_implicit_step_ms_kershawtet50",
     "ladder_kershaw2": "wave_implicit_step_ms_kershaw2med",
     "ladder_tetra6": "wave_implicit_step_ms_tetra6med",
     "transport_implicit": "transport_implicit_step_ms_100cubed",

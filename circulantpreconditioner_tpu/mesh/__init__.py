@@ -6,6 +6,7 @@ from circulantpreconditioner_tpu.mesh.unstructured import (  # noqa: F401
     build_mesh_from_cells,
     hex_mesh,
     kershaw_mesh,
+    kershaw_tet_mesh,
     read_gmsh,
     tet_mesh,
 )

@@ -208,6 +208,26 @@ def match_nonconforming_faces(mesh: Mesh, rel_tol: float = 1e-3,
     drop = frac >= 0.99
     shrink = (~drop) & (frac > 0)
 
+    # Surface a repair that was previously silent (ADVICE r4): report how
+    # much boundary was rewritten and how much area the >=99%-covered cut
+    # discards. The discarded sliver is an O(rel_tol) closure approximation;
+    # warn loudly if it ever grows past 0.1% of the candidate boundary area.
+    import warnings
+
+    dropped_area = float(((1.0 - frac[drop]).clip(0.0) * aa[drop]).sum())
+    mesh.nonconforming_pieces = len(pieces)  # type: ignore[attr-defined]
+    mesh.nonconforming_dropped_area = dropped_area  # type: ignore[attr-defined]
+    total = float(aa.sum())
+    msg = (f"{mesh.name}: non-conforming interface repair created "
+           f"{len(pieces)} interior sub-faces from {int(drop.sum())} fully- "
+           f"and {int(shrink.sum())} partially-covered boundary faces "
+           f"(discarded sliver area {dropped_area:.3e} of {total:.3e} "
+           f"candidate)")
+    if dropped_area > 1e-3 * total:
+        warnings.warn(msg + " — EXCEEDS the 0.1% closure tolerance")
+    else:
+        warnings.warn(msg)
+
     keep_mask = np.ones(mesh.face_cells.shape[0], dtype=bool)
     keep_mask[cand[drop]] = False
     mesh.face_area = mesh.face_area.copy()

@@ -195,6 +195,9 @@ def read_med(path: str, mesh_name: str | None = None, name: str | None = None) -
     mesh = build_mesh_from_cells(
         points, cells, cell_faces=cell_faces, name=name or f"{mesh_name}",
     )
+    # evidence flag for read_mesh's repair gate: per-cell duplicated nodes
+    # are the pathology class the non-conforming pass exists for (ADVICE r4)
+    mesh.welded_nodes = node_remap is not None  # type: ignore[attr-defined]
 
     # tag boundary faces with their MED group names
     if bnd_fam:
@@ -306,8 +309,15 @@ def read_mesh(path: str, recover_topology: bool = True, **kw) -> Mesh:
         # mismatched triangle splits across ~4% of interior interfaces), then
         # try grid-topology recovery on the corrected adjacency; genuinely
         # unstructured meshes instead get a bandwidth-tight RCM order for the
-        # clustered-window SpMV (ops/window_spmv.py)
-        match_nonconforming_faces(mesh)
+        # clustered-window SpMV (ops/window_spmv.py).
+        # The pass is GATED on evidence of the pathology it repairs — the
+        # file duplicating shared vertices per cell (welded at load). On a
+        # cleanly-authored mesh a zero-thickness internal baffle could
+        # otherwise be silently fused into interior couplings (ADVICE r4);
+        # match_nonconforming_faces additionally warns whenever it rewrites
+        # faces, so a repair is never silent.
+        if getattr(mesh, "welded_nodes", False):
+            match_nonconforming_faces(mesh)
         if not recover_grid_topology(mesh):
             from circulantpreconditioner_tpu.mesh.topology import (
                 renumber_bandwidth,

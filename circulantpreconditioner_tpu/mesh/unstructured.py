@@ -49,15 +49,41 @@ def weld_points(points: np.ndarray, tol: float = 1e-9):
     without welding tens of thousands of interior faces stay unmatched and
     are silently treated as boundary — a wrong operator. Nodes are keyed on
     round(p / (tol·scale)): exact and near-exact duplicates merge, distinct
-    mesh nodes (separated by ≫ tol·scale) never do."""
+    mesh nodes (separated by ≫ tol·scale) never do.
+
+    Two copies of one vertex whose float noise straddles a rounding-bin
+    boundary land in different bins (ADVICE r4) — a cKDTree pass over the
+    bin representatives catches those by true distance and merges them via
+    union-find, so the weld is binning-artifact-free."""
     pts = np.asarray(points, dtype=np.float64)
     scale = float(np.abs(pts).max()) or 1.0
     key = np.round(pts / (tol * scale)).astype(np.int64)
     _, first_idx, inverse = np.unique(key, axis=0, return_index=True,
                                       return_inverse=True)
-    if len(first_idx) == len(pts):
+    inverse = inverse.reshape(-1)
+    reps = pts[first_idx]
+    # distance-true pass over the representatives: bin-straddling duplicates
+    # are within tol·scale of each other but hashed apart
+    from scipy.spatial import cKDTree
+
+    pairs = cKDTree(reps).query_pairs(r=tol * scale, output_type="ndarray")
+    if len(first_idx) == len(pts) and pairs.size == 0:
         return pts, None
-    return pts[first_idx], inverse.reshape(-1).astype(np.int64)
+    parent = np.arange(len(reps))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(a) for a in range(len(reps))])
+    uniq, compact = np.unique(roots, return_inverse=True)
+    return reps[uniq], compact[inverse].astype(np.int64)
 
 # splitting of a hex into 6 tets (all positively oriented, shared diagonal 0-6)
 _HEX_TO_TETS = [
@@ -438,12 +464,26 @@ def tet_mesh(bounds, n, name=None) -> Mesh:
     return m
 
 
-def kershaw_mesh(bounds, n, eps: float = 0.3, name=None) -> Mesh:
-    """Kershaw-distorted hexahedra (FVCA6 'Kershaw' family analog,
-    meshes/README.md:30-40): the z coordinate is sheared by a kinked profile
-    whose amplitude depends on (x, y), producing the classic zig-zag layers
-    that break mesh-aligned solvers. eps ∈ (0,1] controls severity (1 =
-    uniform, smaller = more distorted)."""
+def kershaw_tet_mesh(bounds, n, eps: float = 0.3, name=None) -> Mesh:
+    """Kershaw-warped hexahedra split into 6 tets each — the generated
+    analog of the reference's 3DKershawTetra family
+    (/root/reference/meshes/README.md:30-33), whose top rung
+    (KershawTetra3, 766,976 tets) is an absent large blob in the snapshot.
+    6·50³ = 750,000 tets ≈ that rung. Keeps the hex-major supercell
+    numbering (topology_shape + cells_per_site=6), so the fast supercell
+    stencil SpMV applies; the fixture-like welded/RCM windowed route is
+    exercised on the real KershawTetra fixtures instead."""
+    warp = _kershaw_warp(bounds, eps)
+    pts, hexes = _hex_grid_points_cells(bounds, n, warp=warp)
+    cells = [tuple(h[i] for i in tet) for h in hexes for tet in _HEX_TO_TETS]
+    m = build_mesh_from_cells(
+        pts, cells, name=name or f"kershawtet_{'x'.join(map(str, n))}")
+    m.topology_shape = tuple(int(v) for v in n)  # type: ignore[attr-defined]
+    m.cells_per_site = 6  # type: ignore[attr-defined]
+    return m
+
+
+def _kershaw_warp(bounds, eps: float):
     bounds = np.asarray(bounds, dtype=np.float64).reshape(3, 2)
     lo, hi = bounds[:, 0], bounds[:, 1]
 
@@ -463,6 +503,16 @@ def kershaw_mesh(bounds, n, eps: float = 0.3, name=None) -> Mesh:
         out[:, 2] = zn
         return lo + out * (hi - lo)
 
+    return warp
+
+
+def kershaw_mesh(bounds, n, eps: float = 0.3, name=None) -> Mesh:
+    """Kershaw-distorted hexahedra (FVCA6 'Kershaw' family analog,
+    meshes/README.md:30-40): the z coordinate is sheared by a kinked profile
+    whose amplitude depends on (x, y), producing the classic zig-zag layers
+    that break mesh-aligned solvers. eps ∈ (0,1] controls severity (1 =
+    uniform, smaller = more distorted)."""
+    warp = _kershaw_warp(bounds, eps)
     pts, cells = _hex_grid_points_cells(bounds, n, warp=warp)
     m = build_mesh_from_cells(pts, cells, name=name or f"kershaw_{'x'.join(map(str, n))}")
     # geometry is warped but the topology is still the (nx,ny,nz) grid —
@@ -502,4 +552,6 @@ def read_gmsh(path: str, name=None) -> Mesh:
     points, weld = weld_points(points)  # per-cell duplicated vertices (see weld_points)
     if weld is not None:
         cells = [tuple(int(weld[v]) for v in c) for c in cells]
-    return build_mesh_from_cells(points, cells, name=name or path)
+    m = build_mesh_from_cells(points, cells, name=name or path)
+    m.welded_nodes = weld is not None  # type: ignore[attr-defined]
+    return m

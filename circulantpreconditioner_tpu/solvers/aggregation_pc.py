@@ -186,18 +186,195 @@ def _vcycle(levels, bot_inv, n_smooth, omega, l, r):
     if l == len(levels):
         return bot_inv @ r
     L = levels[l]
-    z = _smooth(L, omega, r)
+    grid = isinstance(L, _GridLevel)
+    smooth = _grid_smooth if grid else _smooth
+    restrict = _grid_restrict if grid else _restrict
+    prolong = _grid_prolong if grid else _prolong
+    z = smooth(L, omega, r)
     for _ in range(n_smooth[0] - 1):
-        z = z + _smooth(L, omega, r - L.A(z))
-    rc = _restrict(L, r - L.A(z))
-    z = z + _prolong(L, _vcycle(levels, bot_inv, n_smooth, omega, l + 1, rc))
+        z = z + smooth(L, omega, r - L.A(z))
+    rc = restrict(L, r - L.A(z))
+    z = z + prolong(L, _vcycle(levels, bot_inv, n_smooth, omega, l + 1, rc))
     for _ in range(n_smooth[1]):
-        z = z + _smooth(L, omega, r - L.A(z))
+        z = z + smooth(L, omega, r - L.A(z))
     return z
 
 
 def _shifted_apply(Dmv, shift, x):
     return shift * x + Dmv(x)
+
+
+# ---------------------------------------------------------------------------
+# Grid (geometric-Galerkin) V-cycle for recovered-grid meshes
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class _GridLevel:
+    """A multigrid level living on an (nx,ny,nz) site grid: transfers are
+    2×2×2 box mean/broadcast — pure reshapes, no gathers — and the operator
+    is the gather-free VaryingStencilOperator (7-point Galerkin)."""
+
+    A: Any               # callable pytree
+    Dinv: jax.Array      # (n_sites, b, b)
+    cnt_inv: jax.Array   # (cz, cy, cx, 1) 1/|box| incl. boundary truncation
+    shape_xyz: tuple     # fine grid (nx, ny, nz)
+    cshape_xyz: tuple    # coarse grid (cx, cy, cz)
+    b: int
+
+    def tree_flatten(self):
+        return ((self.A, self.Dinv, self.cnt_inv),
+                (self.shape_xyz, self.cshape_xyz, self.b))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        A, Dinv, cnt_inv = children
+        return cls(A, Dinv, cnt_inv, *aux)
+
+
+def _grid_smooth(L: _GridLevel, omega, r):
+    z = jnp.einsum("nij,nj->ni", L.Dinv, r.reshape(-1, L.b)).reshape(-1)
+    return omega * z if omega != 1.0 else z
+
+
+def _grid_restrict(L: _GridLevel, r):
+    nx, ny, nz = L.shape_xyz
+    cx, cy, cz = L.cshape_xyz
+    g = r.reshape(nz, ny, nx, L.b)
+    pads = ((0, 2 * cz - nz), (0, 2 * cy - ny), (0, 2 * cx - nx), (0, 0))
+    if any(p[1] for p in pads):
+        g = jnp.pad(g, pads)
+    s = g.reshape(cz, 2, cy, 2, cx, 2, L.b).sum(axis=(1, 3, 5))
+    return (s * L.cnt_inv).reshape(-1)
+
+
+def _grid_prolong(L: _GridLevel, zc):
+    nx, ny, nz = L.shape_xyz
+    cx, cy, cz = L.cshape_xyz
+    g = zc.reshape(cz, 1, cy, 1, cx, 1, L.b)
+    g = jnp.broadcast_to(g, (cz, 2, cy, 2, cx, 2, L.b))
+    return g.reshape(2 * cz, 2 * cy, 2 * cx, L.b)[:nz, :ny, :nx].reshape(-1)
+
+
+@jax.tree_util.register_pytree_node_class
+class GridVCyclePC(AggregationVCyclePC):
+    """Geometric-Galerkin multigrid V-cycle for meshes with RECOVERED grid
+    topology (warped Kershaw hexahedra, hex-major supercell tet meshes):
+    level 1 aggregates the `cells_per_site` cells of each grid site, deeper
+    levels coarsen 2×2×2 site boxes. All coarse operators are exact Galerkin
+    restrictions assembled host-side and applied as gather-free 7-point
+    varying stencils, so the hierarchy costs ~nnz/8 per level in HBM (the
+    clustered-window form of the same operators is ~15× nnz — measured
+    infeasible to stage through the axon host→device path at the 750k-cell
+    ladder rung).
+
+    Unlike the cartesian surrogate PCs (solvers/circulant_pc.py) this is
+    warp-adaptive: the coarse operators inherit the warped coefficients, so
+    it converges where dct2lm diverges (generated kershaw-TET meshes:
+    dct2lm unconverged at 12³, this PC converges — round-5 measurement).
+
+    The ω=0.8 smoother damping is LOAD-BEARING, not a tweak: undamped
+    block-Jacobi smoothing amplifies high-frequency error on the upwind
+    wave operator — kershaw-tet 16³ measures 195 its at ω=1.0 (and outright
+    divergence with 2 smoothing steps) vs 42 at ω=0.8; the ω∈[0.6,0.9]
+    plateau is flat (43/42/42/46), so 0.8 is safely mid-plateau. With the
+    damping the grid cycle also MATCHES the wall-BC DCT projection PC on
+    generated kershaw hexes (25 vs 27 its at 16³) at a fraction of the
+    apply cost."""
+
+    @classmethod
+    def from_grid_model(cls, D: BSRMatrix, shape_xyz, cells_per_site: int = 1,
+                        A0_apply=None, shift: float = 1.0,
+                        bottom_max: int = 600, n_smooth=(1, 1),
+                        omega: float = 0.8, dtype=jnp.float32):
+        import scipy.sparse as sp
+
+        from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+
+        b = D.block_size
+        A0 = (shift * sp.identity(D.shape[0], format="csr")
+              + D.to_csr(dtype).to_scipy().astype(np.float64)).tocsr()
+        if A0_apply is None:
+            op0 = VaryingStencilOperator.from_bsr(D, shape_xyz,
+                                                  cells_per_site=cells_per_site,
+                                                  dtype=dtype)
+            A0_apply = jax.tree_util.Partial(
+                _shifted_apply,
+                jax.tree_util.Partial(VaryingStencilOperator.matvec, op0),
+                jnp.asarray(shift, dtype))
+
+        levels = []
+        n0 = A0.shape[0] // b
+        n_sites = int(np.prod(shape_xyz))
+        cps = int(cells_per_site)
+        A_l = A0
+        apply_l = A0_apply
+        if cps > 1:
+            # level 0→1: aggregate the cps cells of each site (contiguous in
+            # the hex-major numbering → reshape transfers via _Level)
+            cnt = np.full(n_sites, cps, dtype=np.float64)
+            levels.append(_Level(
+                A=apply_l, Dinv=_block_diag_inv(A_l, b, dtype),
+                cnt_inv=jnp.asarray(1.0 / cnt, dtype),
+                n=n0, b=b, factor=cps, n_agg=n_sites))
+            A_l = _galerkin_chunk(A_l, b, n0, cps, n_sites)
+        shape = tuple(int(v) for v in shape_xyz)
+        while int(np.prod(shape)) > bottom_max:
+            cshape = tuple(-(-s // 2) for s in shape)
+            nx, ny, nz = shape
+            cx, cy, cz = cshape
+            # site → box flat index map (x-fastest)
+            xi = np.arange(nx) // 2
+            yi = np.arange(ny) // 2
+            zi = np.arange(nz) // 2
+            site = (xi[None, None, :] + cx * yi[None, :, None]
+                    + cx * cy * zi[:, None, None]).reshape(-1)
+            n_c = cx * cy * cz
+            cnt = np.bincount(site, minlength=n_c).astype(np.float64)
+            cnt_inv = jnp.asarray(
+                (1.0 / cnt).reshape(cz, cy, cx, 1), dtype)
+            op_l = _varying_from_scipy(A_l, b, shape, dtype)
+            levels.append(_GridLevel(
+                A=jax.tree_util.Partial(type(op_l).matvec, op_l),
+                Dinv=_block_diag_inv(A_l, b, dtype), cnt_inv=cnt_inv,
+                shape_xyz=shape, cshape_xyz=cshape, b=b))
+            A_l = _galerkin_map(A_l, b, site, n_c)
+            shape = cshape
+
+        bot_inv = jnp.asarray(np.linalg.inv(A_l.toarray()), dtype)
+        return cls(levels, bot_inv, n_smooth=n_smooth, omega=omega)
+
+
+def _galerkin_chunk(A_csr, b, n, factor, n_agg):
+    import scipy.sparse as sp
+
+    agg = np.arange(n) // factor
+    return _galerkin_map(A_csr, b, agg, n_agg)
+
+
+def _galerkin_map(A_csr, b, agg, n_agg):
+    """Galerkin R·A·P for an arbitrary aggregate map (piecewise-constant P,
+    mean R), block size b."""
+    import scipy.sparse as sp
+
+    n = len(agg)
+    cnt = np.bincount(agg, minlength=n_agg).astype(np.float64)
+    P_a = sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, n_agg))
+    R_a = sp.csr_matrix((1.0 / cnt[agg], (agg, np.arange(n))), shape=(n_agg, n))
+    eye_b = sp.identity(b, format="csr")
+    P = sp.kron(P_a, eye_b).tocsr()
+    R = sp.kron(R_a, eye_b).tocsr()
+    return (R @ A_csr @ P).tocsr()
+
+
+def _varying_from_scipy(A_csr, b, shape_xyz, dtype):
+    from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
+
+    Ab = A_csr.tobsr(blocksize=(b, b))
+    brows = np.repeat(np.arange(A_csr.shape[0] // b), np.diff(Ab.indptr))
+    return VaryingStencilOperator.from_blocks(brows, Ab.indices, Ab.data,
+                                              shape_xyz, dtype=dtype)
 
 
 def _block_diag_inv(A_csr, b: int, dtype) -> jax.Array:

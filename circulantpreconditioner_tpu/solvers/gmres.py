@@ -124,6 +124,12 @@ def make_gmres(
             return layout == "lane"
         if b.ndim != 1 or b.shape[0] < 16384:
             return False
+        if isinstance(b, jax.core.Tracer):
+            # inside an outer jit of a GSPMD program a tracer still exposes
+            # .sharding and can report one device, which would fold a
+            # row-sharded axis onto lanes and force resharding collectives
+            # in the hot loop (ADVICE r4) — stay conservative
+            return False
         try:  # sharded vectors keep the flat layout (see docstring)
             sh = b.sharding
             return getattr(sh, "num_devices", len(sh.device_set)) == 1

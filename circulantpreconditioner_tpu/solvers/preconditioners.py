@@ -318,48 +318,64 @@ class ILU0Preconditioner:
         return self.apply(r)
 
 
-def _stack_levels(levels, n: int, dtype=None):
-    """Pad per-level (rows, cols, vals) tables to one uniform (nlev, R, K)
-    stack for lax.scan. Padding rows scatter into a sentinel slot at index n
-    (the working vector is extended by one); padding cols read slot 0 with
-    zero vals, contributing nothing."""
+def _stack_levels(levels, n: int, dtype=None, chunk: int = 8):
+    """Pad per-level (rows, cols, vals) tables to one uniform
+    (n_steps, chunk, R, K) stack for the chunked lax.scan. Padding rows
+    scatter into a sentinel slot at index n (the working vector is extended
+    by one); padding cols read slot 0 with zero vals, contributing nothing;
+    whole padding LEVELS (to fill the last chunk) are all-sentinel no-ops."""
     R = max(lv[0].shape[0] for lv in levels)
     K = max(lv[1].shape[1] for lv in levels)
     nlev = len(levels)
-    rows = np.full((nlev, R), n, dtype=np.int32)
-    cols = np.zeros((nlev, R, K), dtype=np.int32)
-    vals = np.zeros((nlev, R, K), dtype=np.asarray(levels[0][2]).dtype)
+    nlev_p = -(-nlev // chunk) * chunk
+    rows = np.full((nlev_p, R), n, dtype=np.int32)
+    cols = np.zeros((nlev_p, R, K), dtype=np.int32)
+    vals = np.zeros((nlev_p, R, K), dtype=np.asarray(levels[0][2]).dtype)
     for l, (r_, c_, v_) in enumerate(levels):
         m, k = np.asarray(c_).shape
         rows[l, :m] = np.asarray(r_)
         cols[l, :m, :k] = np.asarray(c_)
         vals[l, :m, :k] = np.asarray(v_)
+    rows = rows.reshape(nlev_p // chunk, chunk, R)
+    cols = cols.reshape(nlev_p // chunk, chunk, R, K)
+    vals = vals.reshape(nlev_p // chunk, chunk, R, K)
     return (jnp.asarray(rows), jnp.asarray(cols),
             jnp.asarray(vals, dtype=dtype) if dtype is not None else jnp.asarray(vals))
 
 
 def _ilu_apply_scan(lower_stack, upper_stack, dinv, r):
     """Scan-scheduled x = U⁻¹ L⁻¹ r: one lax.scan per triangle over the
-    uniform-padded level stacks — O(1) trace size in the level count."""
+    uniform-padded level stacks — O(1) trace size in the level count.
+
+    Levels are CHUNKED: each scan step processes the chunk of consecutive
+    levels stacked on axis 1 of the (n_steps, C, R, K) tables with an
+    unrolled inner sequence. The round-4 apply was scan-step-latency-bound
+    (~115 µs/step × ~380 level-steps = 44 ms at 32³ on the axon v5e);
+    chunking divides the step count by C at identical total work because
+    the per-level tables are already padded to a uniform (R, K)."""
     from jax import lax
 
     n = r.shape[0]
     zero = jnp.zeros((1,), r.dtype)
     rs = jnp.concatenate([r, zero])            # sentinel slot at index n
 
-    def lower_body(y, lev):
-        rows, cols, vals = lev
-        acc = jnp.sum(vals * y[cols], axis=1)
-        return y.at[rows].set(rs[rows] - acc), None
+    def lower_body(y, chunk):
+        rows, cols, vals = chunk               # (C, R), (C, R, K), (C, R, K)
+        for c in range(rows.shape[0]):
+            acc = jnp.sum(vals[c] * y[cols[c]], axis=1)
+            y = y.at[rows[c]].set(rs[rows[c]] - acc)
+        return y, None
 
     y, _ = lax.scan(lower_body, rs, lower_stack)
     ys = y
     dinv_s = jnp.concatenate([dinv, jnp.ones((1,), dinv.dtype)])
 
-    def upper_body(x, lev):
-        rows, cols, vals = lev
-        acc = jnp.sum(vals * x[cols], axis=1)
-        return x.at[rows].set((ys[rows] - acc) * dinv_s[rows]), None
+    def upper_body(x, chunk):
+        rows, cols, vals = chunk
+        for c in range(rows.shape[0]):
+            acc = jnp.sum(vals[c] * x[cols[c]], axis=1)
+            x = x.at[rows[c]].set((ys[rows[c]] - acc) * dinv_s[rows[c]])
+        return x, None
 
     x, _ = lax.scan(upper_body, y, upper_stack)
     return x[:n]

@@ -93,3 +93,67 @@ def test_vcycle_jits_as_runtime_parameter():
     y2 = pc.apply(r)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_grid_transfers_partition_of_unity():
+    """2×2×2 box mean-restriction of a prolonged coarse vector is the
+    identity — including ODD grid dims (truncated boundary boxes)."""
+    from circulantpreconditioner_tpu.solvers.aggregation_pc import (
+        _GridLevel,
+        _grid_prolong,
+        _grid_restrict,
+    )
+
+    nx, ny, nz, b = 5, 4, 3, 4
+    cshape = (3, 2, 2)
+    cnt = np.zeros((2, 2, 3))
+    for z in range(nz):
+        for y in range(ny):
+            for x in range(nx):
+                cnt[z // 2, y // 2, x // 2] += 1
+    L = _GridLevel(A=None, Dinv=jnp.zeros((nx * ny * nz, b, b)),
+                   cnt_inv=jnp.asarray((1.0 / cnt)[..., None], jnp.float32),
+                   shape_xyz=(nx, ny, nz), cshape_xyz=cshape, b=b)
+    zc = jnp.asarray(np.random.default_rng(3).standard_normal(
+        int(np.prod(cshape)) * b), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_grid_restrict(L, _grid_prolong(L, zc))), np.asarray(zc),
+        rtol=1e-6)
+
+
+def test_kershaw_tet_mesh_geometry():
+    """The generated 3DKershawTetra analog: warped, volume-exact, hex-major
+    supercell numbering."""
+    from circulantpreconditioner_tpu.mesh import kershaw_tet_mesh
+
+    m = kershaw_tet_mesh(((0.0, 1.0),) * 3, (5,) * 3)
+    assert m.n_cells == 6 * 125
+    assert m.cells_per_site == 6 and m.topology_shape == (5, 5, 5)
+    assert m.cell_volume.min() > 0
+    np.testing.assert_allclose(m.cell_volume.sum(), 1.0, rtol=1e-12)
+
+
+def test_grid_vcycle_beats_pbjacobi_on_kershaw_tet():
+    """On the warped tet supercell mesh — where the cartesian projection PC
+    measurably diverges (round-5 negative result) — the geometric-Galerkin
+    grid V-cycle must converge in far fewer iterations than pbjacobi
+    (measured 12³: 167 vs 588)."""
+    from circulantpreconditioner_tpu.mesh import kershaw_tet_mesh
+    from circulantpreconditioner_tpu.solvers.aggregation_pc import GridVCyclePC
+
+    mesh = kershaw_tet_mesh(((0.0, 1.0),) * 3, (8,) * 3)
+    model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+    A_op = model.implicit_matvec()
+    U0 = model.initial_state()
+    pc = GridVCyclePC.from_grid_model(model.divergence, mesh.topology_shape,
+                                      cells_per_site=6, A0_apply=A_op,
+                                      shift=1.0, bottom_max=100)
+    assert pc.n_levels >= 3
+    it = {}
+    for name, M in (("pbjacobi", pcs.pbjacobi(model.divergence, shift=1.0)),
+                    ("grid", pc.apply_partial())):
+        out = make_gmres(A_op, M, rtol=1e-5, atol=1e-5, maxiter=1000,
+                         side="right", layout="lane")(U0, U0)
+        assert bool(out.converged), name
+        it[name] = int(out.iters)
+    assert it["grid"] < 0.55 * it["pbjacobi"], it
