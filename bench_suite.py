@@ -213,7 +213,7 @@ def bench_pc_iterations(sides=(8, 16, 24)):
             "unit": "iterations"}
 
 
-def bench_wave_implicit(n_side=16, pc="dct2l"):
+def bench_wave_implicit(n_side=16, pc="gridmg"):
     import jax.numpy as jnp
 
     from circulantpreconditioner_tpu.mesh.unstructured import kershaw_mesh
@@ -223,21 +223,33 @@ def bench_wave_implicit(n_side=16, pc="dct2l"):
 
     mesh = kershaw_mesh(((0.0, 1.0),) * 3, (n_side,) * 3)
     model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+    from circulantpreconditioner_tpu.solvers.aggregation_pc import GridVCyclePC
     from circulantpreconditioner_tpu.solvers.circulant_pc import (
         BlockCirculantProjectionPC,
         DCTBlockProjectionPC,
     )
 
-    cls = BlockCirculantProjectionPC if pc == "circulant2l" else DCTBlockProjectionPC
-    coarse = cls(mesh, model.dt, model.c0, dtype=jnp.float32)
-    # field-major loop: fm matvec (no relayouts) + fm pbjacobi + the coarse
-    # PC behind a single relayout-pair adapter
     pj_fm = pcs.pbjacobi_fm(model.divergence, shift=1.0)
-    if pc == "dct2lm":
+    if pc == "gridmg":
+        # round-5 headline: geometric-Galerkin grid V-cycle, all-field-major
+        # (kershaw 32³: 33 GMRES its vs dct2lm's 60, at lower apply cost)
+        pc_obj = GridVCyclePC.from_grid_model(
+            model.divergence, mesh.topology_shape, cells_per_site=1,
+            A0_apply=model.implicit_matvec(),
+            A0_apply_fm=model.implicit_matvec_fm(), shift=1.0,
+            dtype=jnp.float32)
+        M_cm, M_fm = None, pc_obj.apply_fm_partial()
+    elif pc == "dct2lm":
+        coarse = DCTBlockProjectionPC(mesh, model.dt, model.c0, dtype=jnp.float32)
+        # field-major loop: fm matvec (no relayouts) + fm pbjacobi + the
+        # coarse PC behind a single relayout-pair adapter
         M_cm, M_fm = None, pcs.multiplicative(
             model.implicit_matvec_fm(),
             pcs.cell_major_adapter(coarse.apply, model.nb), pj_fm)
     else:
+        cls = (BlockCirculantProjectionPC if pc == "circulant2l"
+               else DCTBlockProjectionPC)
+        coarse = cls(mesh, model.dt, model.c0, dtype=jnp.float32)
         M_cm, M_fm = coarse.apply, pj_fm
     step = model.implicit_stepper_fm(
         M_cm=M_cm, M_fm=M_fm,
@@ -259,10 +271,11 @@ def bench_wave_implicit(n_side=16, pc="dct2l"):
 
 
 def bench_wave_implicit_both(n_side=16):
-    """Time the two-level PC variants; headline = the multiplicative
-    wall-BC DCT/DST cycle, the others recorded alongside for traceability."""
-    rec = bench_wave_implicit(n_side, pc="dct2lm")
-    for alt_pc in ("dct2l", "circulant2l"):
+    """Time the PC variants; headline (round 5) = the geometric-Galerkin
+    grid V-cycle, the projection-PC family recorded alongside for
+    traceability."""
+    rec = bench_wave_implicit(n_side, pc="gridmg")
+    for alt_pc in ("dct2lm", "dct2l", "circulant2l"):
         alt = bench_wave_implicit(n_side, pc=alt_pc)
         rec[f"{alt_pc}_ms_per_step"] = alt["value"]
         rec[f"{alt_pc}_gmres_iters"] = alt["gmres_iters"]
@@ -1025,8 +1038,8 @@ _BENCHES = {
     "spmv64": lambda: bench_spmv(64),
     "spmv_tet": lambda: bench_spmv_tet(),
     "wave_implicit": lambda: bench_wave_implicit_both(),
-    "wave_implicit32": lambda: bench_wave_implicit(32, pc="dct2lm"),
-    "wave_implicit64": lambda: bench_wave_implicit(64, pc="dct2lm"),
+    "wave_implicit32": lambda: bench_wave_implicit(32, pc="gridmg"),
+    "wave_implicit64": lambda: bench_wave_implicit(64, pc="gridmg"),
     "ladder_ktetra2": lambda: bench_fixture_ladder(),
     "ladder_top": lambda: bench_ladder_top(),
     "ladder_kershaw2": lambda: bench_fixture_ladder(

@@ -60,15 +60,16 @@ class _Level:
     b: int              # block size
     factor: int         # aggregation factor to the next level
     n_agg: int          # block rows at the next level
+    A_fm: Any = None    # FIELD-MAJOR flat operator apply (grid PCs only)
 
     def tree_flatten(self):
-        return ((self.A, self.Dinv, self.cnt_inv),
+        return ((self.A, self.Dinv, self.cnt_inv, self.A_fm),
                 (self.n, self.b, self.factor, self.n_agg))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        A, Dinv, cnt_inv = children
-        return cls(A, Dinv, cnt_inv, *aux)
+        A, Dinv, cnt_inv, A_fm = children
+        return cls(A, Dinv, cnt_inv, *aux, A_fm=A_fm)
 
 
 def _smooth(L: _Level, omega, r):
@@ -91,6 +92,30 @@ def _prolong(L: _Level, zc):
     return zb.reshape(-1, L.b)[:L.n].reshape(-1)
 
 
+# field-major (fm) variants: vectors are flat with x.reshape(b, n) — or, on
+# a supercell _Level, x.reshape(factor·b, n_agg) — as the field view. Used
+# by GridVCyclePC.apply_fm; valid on _Level only when n == factor·n_agg
+# (the cells-per-site aggregation), which from_grid_model guarantees.
+
+
+def _smooth_fm(L: _Level, omega, g):
+    gk = g.reshape(L.factor, L.b, L.n_agg)
+    DT = L.Dinv.reshape(L.n_agg, L.factor, L.b, L.b)
+    z = jnp.einsum("nkij,kjn->kin", DT, gk).reshape(-1)
+    return omega * z if omega != 1.0 else z
+
+
+def _restrict_fm(L: _Level, g):
+    return (g.reshape(L.factor, L.b, L.n_agg).sum(axis=0)
+            * L.cnt_inv[None, :]).reshape(-1)
+
+
+def _prolong_fm(L: _Level, zc):
+    zb = jnp.broadcast_to(zc.reshape(1, L.b, L.n_agg),
+                          (L.factor, L.b, L.n_agg))
+    return zb.reshape(-1)
+
+
 @jax.tree_util.register_pytree_node_class
 class AggregationVCyclePC:
     """M⁻¹ r ≈ A⁻¹ r via one V(pre,post) cycle over Galerkin coarse levels.
@@ -99,14 +124,18 @@ class AggregationVCyclePC:
     pipeline of reshapes, batched (b×b) einsums, windowed SpMVs and a dense
     bottom matmul — no gathers, no scans."""
 
-    def __init__(self, levels, bot_inv, n_smooth=(1, 1), omega=1.0):
+    def __init__(self, levels, bot_inv, n_smooth=(1, 1), omega=1.0, b=None):
         self.levels = tuple(levels)
         self.bot_inv = bot_inv
         self.n_smooth = tuple(n_smooth)
         self.omega = float(omega)
+        # block size for the bottom-level field-major relayout; needed when
+        # the hierarchy has ZERO levels (whole mesh ≤ bottom_max)
+        self.b = int(b) if b is not None else (levels[-1].b if levels else 1)
 
     def tree_flatten(self):
-        return ((self.levels, self.bot_inv), (self.n_smooth, self.omega))
+        return ((self.levels, self.bot_inv),
+                (self.n_smooth, self.omega, self.b))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -163,13 +192,22 @@ class AggregationVCyclePC:
             apply_l = W_l.matvec_partial()
 
         bot_inv = jnp.asarray(np.linalg.inv(A_l.toarray()), dtype)
-        return cls(levels, bot_inv, n_smooth=n_smooth, omega=omega)
+        return cls(levels, bot_inv, n_smooth=n_smooth, omega=omega, b=b)
 
     # -- apply --------------------------------------------------------------
 
     def apply(self, r: jax.Array) -> jax.Array:
         return _vcycle(self.levels, self.bot_inv, self.n_smooth, self.omega,
-                       0, r)
+                       0, r, bot_b=self.b)
+
+    def apply_fm(self, g: jax.Array) -> jax.Array:
+        """FIELD-MAJOR apply (flat g with g.reshape(b, n) — or, on a
+        supercell fine level, g.reshape(cps·b, n_sites) — as the field
+        view): zero relayouts end-to-end, for composition with the
+        field-major steppers. Requires the levels to carry A_fm (grid
+        hierarchies built by from_grid_model)."""
+        return _vcycle(self.levels, self.bot_inv, self.n_smooth, self.omega,
+                       0, g, fm=True, bot_b=self.b)
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)
@@ -177,26 +215,40 @@ class AggregationVCyclePC:
     def apply_partial(self) -> jax.tree_util.Partial:
         return jax.tree_util.Partial(type(self).apply, self)
 
+    def apply_fm_partial(self) -> jax.tree_util.Partial:
+        return jax.tree_util.Partial(type(self).apply_fm, self)
+
     @property
     def n_levels(self) -> int:
         return len(self.levels) + 1
 
 
-def _vcycle(levels, bot_inv, n_smooth, omega, l, r):
+def _vcycle(levels, bot_inv, n_smooth, omega, l, r, fm=False, bot_b=1):
     if l == len(levels):
+        if fm:
+            x = bot_inv @ r.reshape(bot_b, -1).T.reshape(-1)
+            return x.reshape(-1, bot_b).T.reshape(-1)
         return bot_inv @ r
     L = levels[l]
     grid = isinstance(L, _GridLevel)
-    smooth = _grid_smooth if grid else _smooth
-    restrict = _grid_restrict if grid else _restrict
-    prolong = _grid_prolong if grid else _prolong
+    if fm:
+        smooth = _grid_smooth_fm if grid else _smooth_fm
+        restrict = _grid_restrict_fm if grid else _restrict_fm
+        prolong = _grid_prolong_fm if grid else _prolong_fm
+        A = L.A_fm
+    else:
+        smooth = _grid_smooth if grid else _smooth
+        restrict = _grid_restrict if grid else _restrict
+        prolong = _grid_prolong if grid else _prolong
+        A = L.A
     z = smooth(L, omega, r)
     for _ in range(n_smooth[0] - 1):
-        z = z + smooth(L, omega, r - L.A(z))
-    rc = restrict(L, r - L.A(z))
-    z = z + prolong(L, _vcycle(levels, bot_inv, n_smooth, omega, l + 1, rc))
+        z = z + smooth(L, omega, r - A(z))
+    rc = restrict(L, r - A(z))
+    z = z + prolong(L, _vcycle(levels, bot_inv, n_smooth, omega, l + 1, rc,
+                               fm=fm, bot_b=bot_b))
     for _ in range(n_smooth[1]):
-        z = z + smooth(L, omega, r - L.A(z))
+        z = z + smooth(L, omega, r - A(z))
     return z
 
 
@@ -222,15 +274,16 @@ class _GridLevel:
     shape_xyz: tuple     # fine grid (nx, ny, nz)
     cshape_xyz: tuple    # coarse grid (cx, cy, cz)
     b: int
+    A_fm: Any = None     # field-major flat operator apply
 
     def tree_flatten(self):
-        return ((self.A, self.Dinv, self.cnt_inv),
+        return ((self.A, self.Dinv, self.cnt_inv, self.A_fm),
                 (self.shape_xyz, self.cshape_xyz, self.b))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        A, Dinv, cnt_inv = children
-        return cls(A, Dinv, cnt_inv, *aux)
+        A, Dinv, cnt_inv, A_fm = children
+        return cls(A, Dinv, cnt_inv, *aux, A_fm=A_fm)
 
 
 def _grid_smooth(L: _GridLevel, omega, r):
@@ -255,6 +308,30 @@ def _grid_prolong(L: _GridLevel, zc):
     g = zc.reshape(cz, 1, cy, 1, cx, 1, L.b)
     g = jnp.broadcast_to(g, (cz, 2, cy, 2, cx, 2, L.b))
     return g.reshape(2 * cz, 2 * cy, 2 * cx, L.b)[:nz, :ny, :nx].reshape(-1)
+
+
+def _grid_smooth_fm(L: _GridLevel, omega, g):
+    z = jnp.einsum("nij,jn->in", L.Dinv, g.reshape(L.b, -1)).reshape(-1)
+    return omega * z if omega != 1.0 else z
+
+
+def _grid_restrict_fm(L: _GridLevel, g):
+    nx, ny, nz = L.shape_xyz
+    cx, cy, cz = L.cshape_xyz
+    gg = g.reshape(L.b, nz, ny, nx)
+    pads = ((0, 0), (0, 2 * cz - nz), (0, 2 * cy - ny), (0, 2 * cx - nx))
+    if any(p[1] for p in pads):
+        gg = jnp.pad(gg, pads)
+    s = gg.reshape(L.b, cz, 2, cy, 2, cx, 2).sum(axis=(2, 4, 6))
+    return (s * L.cnt_inv.reshape(1, cz, cy, cx)).reshape(-1)
+
+
+def _grid_prolong_fm(L: _GridLevel, zc):
+    nx, ny, nz = L.shape_xyz
+    cx, cy, cz = L.cshape_xyz
+    g = zc.reshape(L.b, cz, 1, cy, 1, cx, 1)
+    g = jnp.broadcast_to(g, (L.b, cz, 2, cy, 2, cx, 2))
+    return g.reshape(L.b, 2 * cz, 2 * cy, 2 * cx)[:, :nz, :ny, :nx].reshape(-1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -285,9 +362,13 @@ class GridVCyclePC(AggregationVCyclePC):
 
     @classmethod
     def from_grid_model(cls, D: BSRMatrix, shape_xyz, cells_per_site: int = 1,
-                        A0_apply=None, shift: float = 1.0,
+                        A0_apply=None, A0_apply_fm=None, shift: float = 1.0,
                         bottom_max: int = 600, n_smooth=(1, 1),
                         omega: float = 0.8, dtype=jnp.float32):
+        """A0_apply / A0_apply_fm: production fine-level matvecs (cell-major
+        flat / field-major flat). When None they are built from D's varying
+        stencil; pass the model's own (e.g. the block-sparse supercell fm
+        operator — the dense (cps·b)² cell-major form is 8× bigger)."""
         import scipy.sparse as sp
 
         from circulantpreconditioner_tpu.ops.stencil import VaryingStencilOperator
@@ -295,31 +376,38 @@ class GridVCyclePC(AggregationVCyclePC):
         b = D.block_size
         A0 = (shift * sp.identity(D.shape[0], format="csr")
               + D.to_csr(dtype).to_scipy().astype(np.float64)).tocsr()
-        if A0_apply is None:
+        if A0_apply is None or A0_apply_fm is None:
             op0 = VaryingStencilOperator.from_bsr(D, shape_xyz,
                                                   cells_per_site=cells_per_site,
                                                   dtype=dtype)
-            A0_apply = jax.tree_util.Partial(
-                _shifted_apply,
-                jax.tree_util.Partial(VaryingStencilOperator.matvec, op0),
-                jnp.asarray(shift, dtype))
+            sh = jnp.asarray(shift, dtype)
+            if A0_apply is None:
+                A0_apply = jax.tree_util.Partial(
+                    _shifted_apply,
+                    jax.tree_util.Partial(VaryingStencilOperator.matvec, op0),
+                    sh)
+            if A0_apply_fm is None and op0.layout in ("flat",):
+                A0_apply_fm = jax.tree_util.Partial(
+                    _shifted_apply,
+                    jax.tree_util.Partial(
+                        VaryingStencilOperator.matvec_fm_flat, op0), sh)
 
         levels = []
         n0 = A0.shape[0] // b
         n_sites = int(np.prod(shape_xyz))
         cps = int(cells_per_site)
         A_l = A0
-        apply_l = A0_apply
         if cps > 1:
             # level 0→1: aggregate the cps cells of each site (contiguous in
             # the hex-major numbering → reshape transfers via _Level)
             cnt = np.full(n_sites, cps, dtype=np.float64)
             levels.append(_Level(
-                A=apply_l, Dinv=_block_diag_inv(A_l, b, dtype),
+                A=A0_apply, Dinv=_block_diag_inv(A_l, b, dtype),
                 cnt_inv=jnp.asarray(1.0 / cnt, dtype),
-                n=n0, b=b, factor=cps, n_agg=n_sites))
+                n=n0, b=b, factor=cps, n_agg=n_sites, A_fm=A0_apply_fm))
             A_l = _galerkin_chunk(A_l, b, n0, cps, n_sites)
         shape = tuple(int(v) for v in shape_xyz)
+        first_grid = cps == 1
         while int(np.prod(shape)) > bottom_max:
             cshape = tuple(-(-s // 2) for s in shape)
             nx, ny, nz = shape
@@ -334,16 +422,24 @@ class GridVCyclePC(AggregationVCyclePC):
             cnt = np.bincount(site, minlength=n_c).astype(np.float64)
             cnt_inv = jnp.asarray(
                 (1.0 / cnt).reshape(cz, cy, cx, 1), dtype)
-            op_l = _varying_from_scipy(A_l, b, shape, dtype)
+            if first_grid:
+                # the first grid level IS the fine level: reuse the
+                # production operators instead of duplicating the stencil
+                A_cm, A_fm = A0_apply, A0_apply_fm
+            else:
+                op_l = _varying_from_scipy(A_l, b, shape, dtype)
+                A_cm = jax.tree_util.Partial(type(op_l).matvec, op_l)
+                A_fm = (jax.tree_util.Partial(type(op_l).matvec_fm_flat, op_l)
+                        if op_l.layout == "flat" else None)
             levels.append(_GridLevel(
-                A=jax.tree_util.Partial(type(op_l).matvec, op_l),
-                Dinv=_block_diag_inv(A_l, b, dtype), cnt_inv=cnt_inv,
-                shape_xyz=shape, cshape_xyz=cshape, b=b))
+                A=A_cm, Dinv=_block_diag_inv(A_l, b, dtype), cnt_inv=cnt_inv,
+                shape_xyz=shape, cshape_xyz=cshape, b=b, A_fm=A_fm))
             A_l = _galerkin_map(A_l, b, site, n_c)
             shape = cshape
+            first_grid = False
 
         bot_inv = jnp.asarray(np.linalg.inv(A_l.toarray()), dtype)
-        return cls(levels, bot_inv, n_smooth=n_smooth, omega=omega)
+        return cls(levels, bot_inv, n_smooth=n_smooth, omega=omega, b=b)
 
 
 def _galerkin_chunk(A_csr, b, n, factor, n_agg):

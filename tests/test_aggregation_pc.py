@@ -157,3 +157,25 @@ def test_grid_vcycle_beats_pbjacobi_on_kershaw_tet():
         assert bool(out.converged), name
         it[name] = int(out.iters)
     assert it["grid"] < 0.55 * it["pbjacobi"], it
+
+
+def test_grid_vcycle_fm_matches_cell_major():
+    """apply_fm (zero-relayout field-major form) must equal apply up to
+    dtype roundoff, on both a supercell tet mesh and a cps=1 kershaw."""
+    from circulantpreconditioner_tpu.mesh import kershaw_mesh, kershaw_tet_mesh
+    from circulantpreconditioner_tpu.solvers.aggregation_pc import GridVCyclePC
+
+    for mesh_fn, cps in ((kershaw_tet_mesh, 6), (kershaw_mesh, 1)):
+        mesh = mesh_fn(((0.0, 1.0),) * 3, (6,) * 3)
+        model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
+        pc = GridVCyclePC.from_grid_model(model.divergence, mesh.topology_shape,
+                                          cells_per_site=cps, shift=1.0,
+                                          bottom_max=30)
+        r_cm = jnp.asarray(np.random.default_rng(5).standard_normal(
+            model.divergence.shape[0]).astype(np.float32))
+        z_cm = np.asarray(pc.apply(r_cm))
+        g = model.pack_fm(np.asarray(r_cm)).reshape(-1)
+        z_fm = np.asarray(pc.apply_fm(g))
+        z_fm_cm = np.asarray(model.unpack_fm(
+            z_fm.reshape(model.fm_block, -1))).reshape(-1)
+        np.testing.assert_allclose(z_fm_cm, z_cm, rtol=2e-4, atol=2e-4)
