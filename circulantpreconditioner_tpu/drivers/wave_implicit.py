@@ -22,10 +22,14 @@ from circulantpreconditioner_tpu.solvers import preconditioners as pcs
 def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--pc", choices=["none", "pbjacobi", "ilu0", "bjacobi", "blockfft",
-                                    "dctfft", "circulant2l", "dct2l", "dct2lm"],
+                                    "dctfft", "circulant2l", "dct2l", "dct2lm",
+                                    "gridmg", "aggvcycle"],
                    default="ilu0",
                    help="blockfft/dctfft replace GMRES with an exact direct "
-                        "solve (periodic / wall cartesian grids)")
+                        "solve (periodic / wall cartesian grids); gridmg = "
+                        "geometric-Galerkin grid V-cycle (recovered-grid "
+                        "meshes), aggvcycle = algebraic aggregation V-cycle "
+                        "(any mesh, the warped-fixture PC)")
     p.add_argument("--n-blocks", type=int, default=4, help="bjacobi partition count")
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--atol", type=float, default=1e-5)
@@ -43,7 +47,8 @@ def main(argv=None):
     if args.shard == "rows":
         return _main_sharded(args, mesh, model, dtype)
 
-    side = "right" if args.pc in ("circulant2l", "dct2l", "dct2lm") else "left"
+    side = ("right" if args.pc in ("circulant2l", "dct2l", "dct2lm", "gridmg",
+                                   "aggvcycle") else "left")
     fm = False  # field-major loop (no per-matvec relayouts) when available
     coarse = None
     if args.pc in ("circulant2l", "dct2l", "dct2lm"):
@@ -68,7 +73,37 @@ def main(argv=None):
         # (including a host inversion of every diagonal block) is only
         # built in the fallback below
         step = None
-        if args.pc in ("none", "pbjacobi", "circulant2l", "dct2l", "dct2lm"):
+        if args.pc == "gridmg" and getattr(mesh, "topology_shape", None) is not None:
+            from circulantpreconditioner_tpu.solvers.aggregation_pc import (
+                GridVCyclePC,
+            )
+
+            cps = int(getattr(mesh, "cells_per_site", 1) or 1)
+            pc_obj = GridVCyclePC.from_grid_model(
+                model.divergence, mesh.topology_shape, cells_per_site=cps,
+                A0_apply=model.implicit_matvec(),
+                A0_apply_fm=model.implicit_matvec_fm(), shift=1.0, dtype=dtype)
+            if cps == 1:
+                step = model.implicit_stepper_fm(
+                    M_fm=pc_obj.apply_fm_partial(), rtol=args.rtol,
+                    atol=args.atol, maxiter=args.maxits, side=side)
+                fm = step is not None
+            if step is None:
+                step = model.implicit_stepper(
+                    M=pc_obj.apply_partial(), rtol=args.rtol, atol=args.atol,
+                    maxiter=args.maxits, side=side)
+        elif args.pc == "aggvcycle":
+            from circulantpreconditioner_tpu.solvers.aggregation_pc import (
+                AggregationVCyclePC,
+            )
+
+            pc_obj = AggregationVCyclePC.from_bsr(
+                model.divergence, A0_apply=model.implicit_matvec(),
+                shift=1.0, dtype=dtype)
+            step = model.implicit_stepper(
+                M=pc_obj.apply_partial(), rtol=args.rtol, atol=args.atol,
+                maxiter=args.maxits, side=side)
+        if step is None and args.pc in ("none", "pbjacobi", "circulant2l", "dct2l", "dct2lm"):
             A_fm = model.implicit_matvec_fm()
             if A_fm is not None:
                 M_fm = (pcs.pbjacobi_fm(model.divergence, shift=1.0)

@@ -249,7 +249,7 @@ class BSRMatrix:
         b = self.block_size
         xb = x.reshape(-1, b)
         gathered = xb[self.indices]  # (nblocks, b)
-        contrib = jnp.einsum("nij,nj->ni", self.blocks, gathered)
+        contrib = jnp.einsum("nij,nj->ni", self.blocks, gathered, precision=jax.lax.Precision.HIGHEST)
         yb = jax.ops.segment_sum(contrib, self.brow_ids, num_segments=self.n_brows)
         return yb.reshape(-1)
 

@@ -114,9 +114,9 @@ class WaveStencilOperator:
                     # neighbour → wall mirror ghost (I − 2vvᵀ)U
                     edge = n - 1 if sgn > 0 else 0
                     idx = jax.lax.broadcasted_iota(jnp.int32, g.shape, ax)
-                    ghost = jnp.einsum("...j,ij->...i", g, self.mirror[s])
+                    ghost = jnp.einsum("...j,ij->...i", g, self.mirror[s], precision=jax.lax.Precision.HIGHEST)
                     nbr = jnp.where(idx == edge, ghost, nbr)
-                out = out + jnp.einsum("...j,ij->...i", nbr - g, self.Am[s])
+                out = out + jnp.einsum("...j,ij->...i", nbr - g, self.Am[s], precision=jax.lax.Precision.HIGHEST)
                 s += 1
         return out.reshape(-1)
 
@@ -378,7 +378,9 @@ class VaryingStencilOperator:
                     if o:
                         nbr = jnp.roll(nbr, -o, axis=ax + 1)
             if m > self._UNROLL_MAX:
-                upd = jnp.einsum("ij...,j...->i...", C, nbr)
+                # true-f32 operator apply: the TPU default one-bf16-pass dot
+                # measurably degrades Krylov convergence (round 5)
+                upd = jnp.einsum("ij...,j...->i...", C, nbr, precision=jax.lax.Precision.HIGHEST)
                 for i in range(m):
                     ys[i] = ys[i] + upd[i]
                 continue
@@ -406,7 +408,7 @@ class VaryingStencilOperator:
             for ax, o in enumerate(off):
                 if o:
                     nbr = jnp.roll(nbr, -o, axis=ax)
-            out = out + jnp.einsum("...ij,...j->...i", C, nbr)
+            out = out + jnp.einsum("...ij,...j->...i", C, nbr, precision=jax.lax.Precision.HIGHEST)
         return out.reshape(-1)
 
     @jax.jit

@@ -167,7 +167,11 @@ class WindowedBlockOperator:
     def matvec(self, x: jax.Array) -> jax.Array:
         n = self.n_brows * self.b
         win = self._gather_windows(x)
-        y = jnp.einsum("cij,cj->ci", self.W, win)
+        # HIGHEST: the operator apply must be true-f32 — the TPU default
+        # (one bf16 pass per dot) costs GMRES ~2x the iterations
+        # (kershaw16 dct2lm: 54 its vs 27 on CPU, round 5); the SpMV is
+        # W-streaming-bound so the extra MXU passes are free
+        y = jnp.einsum("cij,cj->ci", self.W, win, precision=jax.lax.Precision.HIGHEST)
         # output rows are padded to whole clusters; trailing pad rows of W
         # are zero so the slice just drops them
         return y.reshape(-1)[:n]
@@ -183,7 +187,7 @@ class WindowedBlockOperator:
         n = self.n_brows * self.b
         m = x.shape[1]
         win = self._gather_windows(x)            # (ncl, U·unit·b, m)
-        y = jnp.einsum("cij,cjm->cim", self.W, win)
+        y = jnp.einsum("cij,cjm->cim", self.W, win, precision=jax.lax.Precision.HIGHEST)
         return y.reshape(-1, m)[:n]
 
     def __call__(self, x):

@@ -104,7 +104,7 @@ class HaloWindowOperator:
             x_ext = jnp.concatenate([from_left, xu, from_right])
             g = x_ext[src_l]                      # (Bc, U, ub)
             win = g.reshape(Bc, -1)
-            y = jnp.einsum("cij,cj->ci", W_l, win)
+            y = jnp.einsum("cij,cj->ci", W_l, win, precision=jax.lax.Precision.HIGHEST)
             return y.reshape(-1)
 
         self._spmv = jax.jit(

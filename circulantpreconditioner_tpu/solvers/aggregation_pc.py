@@ -226,9 +226,10 @@ class AggregationVCyclePC:
 def _vcycle(levels, bot_inv, n_smooth, omega, l, r, fm=False, bot_b=1):
     if l == len(levels):
         if fm:
-            x = bot_inv @ r.reshape(bot_b, -1).T.reshape(-1)
+            x = jnp.matmul(bot_inv, r.reshape(bot_b, -1).T.reshape(-1),
+                           precision=jax.lax.Precision.HIGHEST)
             return x.reshape(-1, bot_b).T.reshape(-1)
-        return bot_inv @ r
+        return jnp.matmul(bot_inv, r, precision=jax.lax.Precision.HIGHEST)
     L = levels[l]
     grid = isinstance(L, _GridLevel)
     if fm:

@@ -213,10 +213,13 @@ def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right,
                 w = to2(precond_op(to1(V[j])))
                 # Classical Gram-Schmidt ×2: rows of V beyond j are zero, so
                 # the full-matrix projection only removes the active basis.
-                h = jnp.einsum(proj, V, w)  # (m+1,)
-                w = w - jnp.einsum(expand, h, V)
-                h2 = jnp.einsum(proj, V, w)
-                w = w - jnp.einsum(expand, h2, V)
+                # HIGHEST: basis projections at the TPU default one-bf16-pass dot
+                # precision measurably inflate iteration counts (round 5);
+                # the (m+1,N) dots are bandwidth-bound so this is free
+                h = jnp.einsum(proj, V, w, precision=jax.lax.Precision.HIGHEST)  # (m+1,)
+                w = w - jnp.einsum(expand, h, V, precision=jax.lax.Precision.HIGHEST)
+                h2 = jnp.einsum(proj, V, w, precision=jax.lax.Precision.HIGHEST)
+                w = w - jnp.einsum(expand, h2, V, precision=jax.lax.Precision.HIGHEST)
                 h = h + h2
                 wnorm = jnp.linalg.norm(w)
                 h = h.at[j + 1].set(wnorm)
@@ -248,7 +251,7 @@ def _gmres_body(A, M, b, x0, *, m, rtol, atol, maxiter, divtol, right,
             R = R + jnp.diag(jnp.where(jnp.abs(jnp.diag(R)) < eps, eps, 0.0).astype(dtype))
             gm = jnp.where(diag_ok, g[:m], 0.0)
             y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
-            corr = to1(jnp.einsum(expand, y, V[:m]))
+            corr = to1(jnp.einsum(expand, y, V[:m], precision=jax.lax.Precision.HIGHEST))
             x_new = x + (M(corr) if right else corr)
             return x_new, res, j, res > dtol
 

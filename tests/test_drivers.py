@@ -197,3 +197,19 @@ def test_wave_implicit_dctfft_direct_matches_gmres(tmp_path):
                                 "--atol", "1e-12"] + common)
     a, b = np.asarray(r_dct.state), np.asarray(r_ilu.state)
     np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-7 * np.abs(b).max())
+
+
+def test_wave_implicit_driver_gridmg(tmp_path):
+    """--pc gridmg: the geometric-Galerkin grid V-cycle on a recovered-grid
+    mesh (round-5 headline PC for the Kershaw families)."""
+    res = wave_implicit.main(["--mesh-family", "kershaw", "6", "6", "6",
+                              "--pc", "gridmg"] + _common(tmp_path, []))
+    assert res.iterations >= 1
+
+
+def test_wave_implicit_driver_aggvcycle(tmp_path):
+    """--pc aggvcycle: the algebraic aggregation V-cycle (the warped-fixture
+    PC) through the driver path."""
+    res = wave_implicit.main(["--mesh-family", "tetra", "4", "4", "4",
+                              "--pc", "aggvcycle"] + _common(tmp_path, []))
+    assert res.iterations >= 1
