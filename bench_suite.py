@@ -264,10 +264,21 @@ def bench_wave_implicit(n_side=16, pc="gridmg"):
     # totals fold the tunnel dispatch cost into the metric, and the physical
     # loop decays toward 0-iteration solves)
     per_step = _t0_chain_time(step, U, K1=5, K2=20)
-    return {"metric": f"wave_implicit_step_ms_kershaw{n_side}",
-            "value": round(per_step * 1e3, 2), "unit": "ms/step", "pc": pc,
-            "gmres_iters": iters, "converged": converged,
-            "note": "t=0 solve (fixed iteration count) per step"}
+    rec = {"metric": f"wave_implicit_step_ms_kershaw{n_side}",
+           "value": round(per_step * 1e3, 2), "unit": "ms/step", "pc": pc,
+           "gmres_iters": iters, "converged": converged,
+           "note": "t=0 solve (fixed iteration count) per step"}
+    if pc == "gridmg":
+        # BASELINE.md north star: implicit WaveSystem on the 3D Kershaw mesh
+        # vs the single-node CPU stand-in (scipy GMRES + pbjacobi, same tol)
+        print(f"bench: kershaw{n_side} scipy CPU baseline ...", file=sys.stderr,
+              flush=True)
+        per_base, base_iters = _scipy_implicit_baseline(
+            model, np.asarray(model.initial_state()), reps=1)
+        rec["vs_baseline"] = round(per_base / per_step, 1)
+        rec["scipy_baseline_ms_per_step"] = round(per_base * 1e3, 1)
+        rec["scipy_baseline_gmres_iters"] = base_iters
+    return rec
 
 
 def bench_wave_implicit_both(n_side=16):
