@@ -194,12 +194,25 @@ def bench_pc_iterations(sides=(8, 16, 24)):
         coarse = BlockCirculantProjectionPC(mesh, model.dt, model.c0, dtype=jnp.float32)
         dct = DCTBlockProjectionPC(mesh, model.dt, model.c0, dtype=jnp.float32)
         pj = pcs.pbjacobi(model.divergence, shift=1.0)
+        from circulantpreconditioner_tpu.solvers.aggregation_pc import (
+            AggregationVCyclePC,
+            GridVCyclePC,
+        )
+
+        gridmg = GridVCyclePC.from_grid_model(
+            model.divergence, mesh.topology_shape, cells_per_site=1,
+            A0_apply=model.implicit_matvec(), shift=1.0, dtype=jnp.float32)
+        aggv = AggregationVCyclePC.from_bsr(
+            model.divergence, A0_apply=model.implicit_matvec(), shift=1.0,
+            factor=4, bottom_max=600, dtype=jnp.float32)
         pcs_by_name = {
             "none": None,
             "pbjacobi": pj,
             "circulant2l": pcs.additive(coarse.apply, pj),
             "dct2l": pcs.additive(dct.apply, pj),
             "dct2lm": pcs.multiplicative(model.implicit_matvec(), dct.apply, pj),
+            "gridmg": gridmg.apply_partial(),
+            "aggvcycle": aggv.apply_partial(),
         }
         row = {}
         for name, M in pcs_by_name.items():
@@ -696,23 +709,49 @@ def bench_fixture_ladder(rel="3DTetrahedra_Kershaw/3DKershawTetra2.med",
         return jax.lax.fori_loop(0, K, body, u)
 
     results = {}
-    pc_by_name = {
-        "aggvcycle": AggregationVCyclePC.from_bsr(
+    if getattr(mesh, "topology_shape", None) is not None:
+        # recovered-grid fixture (Kershaw hex family): the geometric-Galerkin
+        # grid V-cycle with gather-free levels, field-major end to end
+        from circulantpreconditioner_tpu.solvers.aggregation_pc import (
+            GridVCyclePC,
+        )
+
+        cps = int(getattr(mesh, "cells_per_site", 1) or 1)
+        head_name = "gridmg"
+        head_pc = GridVCyclePC.from_grid_model(
+            model.divergence, mesh.topology_shape, cells_per_site=cps,
+            A0_apply=A_op, A0_apply_fm=model.implicit_matvec_fm(),
+            shift=1.0, dtype=jnp.float32)
+    else:
+        head_name = "aggvcycle"
+        head_pc = AggregationVCyclePC.from_bsr(
             model.divergence, A0_apply=A_op, shift=1.0, factor=4,
-            bottom_max=1200, dtype=jnp.float32).apply_partial(),
-        "pbjacobi": pcs.pbjacobi(model.divergence, shift=1.0),
-    }
+            bottom_max=1200, dtype=jnp.float32)
+    pc_by_name = {head_name: head_pc.apply_partial(),
+                  "pbjacobi": pcs.pbjacobi(model.divergence, shift=1.0)}
     for pc_name, M in pc_by_name.items():
         print(f"bench: {label} implicit ({pc_name}) ...", file=sys.stderr,
               flush=True)
-        solver = make_gmres(A_op, M, rtol=1e-5, atol=1e-5, maxiter=1000,
-                            side="right", layout="lane")
-        out = retry_transient(lambda: solver(U0, U0))
-        iters = int(np.asarray(out.iters))
-        conv = bool(np.asarray(out.converged))
-        retry_transient(lambda: run_imp(A_op, M, U0, 2))
-        np.asarray(run_imp(A_op, M, U0, 2))
-        per = _dev_time(lambda u, K: run_imp(A_op, M, u, K), U0, K1=K1, K2=K2)
+        if (pc_name == "gridmg"
+                and model.implicit_matvec_fm() is not None):
+            step = model.implicit_stepper_fm(
+                M_fm=head_pc.apply_fm_partial(), rtol=1e-5, atol=1e-5,
+                maxiter=1000, side="right")
+            Ufm = model.pack_fm(np.asarray(U0)).reshape(-1)
+            out = retry_transient(lambda: step(Ufm))
+            iters = int(np.asarray(out[2]))
+            conv = bool(np.asarray(out[4]))
+            per = _t0_chain_time(step, Ufm, K1=K1, K2=K2)
+        else:
+            solver = make_gmres(A_op, M, rtol=1e-5, atol=1e-5, maxiter=1000,
+                                side="right", layout="lane")
+            out = retry_transient(lambda: solver(U0, U0))
+            iters = int(np.asarray(out.iters))
+            conv = bool(np.asarray(out.converged))
+            retry_transient(lambda: run_imp(A_op, M, U0, 2))
+            np.asarray(run_imp(A_op, M, U0, 2))
+            per = _dev_time(lambda u, K: run_imp(A_op, M, u, K), U0, K1=K1,
+                            K2=K2)
         results[pc_name] = (per, iters, conv)
 
     # CPU baseline: scipy.sparse GMRES + pbjacobi at the same tolerances —
@@ -721,12 +760,12 @@ def bench_fixture_ladder(rel="3DTetrahedra_Kershaw/3DKershawTetra2.med",
     print(f"bench: {label} scipy CPU baseline ...", file=sys.stderr, flush=True)
     per_base, base_iters = _scipy_implicit_baseline(model, np.asarray(U0))
 
-    per_imp, iters, conv = results["aggvcycle"]
+    per_imp, iters, conv = results[head_name]
     per_pj, it_pj, conv_pj = results["pbjacobi"]
     return {"metric": f"wave_implicit_step_ms_{label}",
             "value": round(per_imp * 1e3, 2), "unit": "ms/step",
             "cells": int(mesh.n_cells), "unknowns": int(A.shape[0]),
-            "pc": "aggvcycle", "gmres_iters": iters, "converged": conv,
+            "pc": head_name, "gmres_iters": iters, "converged": conv,
             "pbjacobi_ms_per_step": round(per_pj * 1e3, 2),
             "pbjacobi_gmres_iters": it_pj, "pbjacobi_converged": conv_pj,
             "vs_baseline": round(per_base / per_imp, 1),
