@@ -956,8 +956,21 @@ def bench_transport_fixture(rel="3DKershaw/Kershaw2.med", label="kershaw2med",
     sp_ = D.to_scipy().tocoo()
     Db = BSRMatrix.from_block_coo(D.shape[0], D.shape[1], sp_.row, sp_.col,
                                   sp_.data.reshape(-1, 1, 1), dtype=jnp.float32)
-    pc = AggregationVCyclePC.from_bsr(Db, A0_apply=A_op, shift=1.0, factor=4,
-                                      bottom_max=1200, dtype=jnp.float32)
+    if getattr(mesh, "topology_shape", None) is not None:
+        from circulantpreconditioner_tpu.solvers.aggregation_pc import (
+            GridVCyclePC,
+        )
+
+        pc = GridVCyclePC.from_grid_model(
+            Db, mesh.topology_shape,
+            cells_per_site=int(getattr(mesh, "cells_per_site", 1) or 1),
+            A0_apply=A_op, shift=1.0, dtype=jnp.float32)
+        pc_label = "gridmg"
+    else:
+        pc = AggregationVCyclePC.from_bsr(Db, A0_apply=A_op, shift=1.0,
+                                          factor=4, bottom_max=1200,
+                                          dtype=jnp.float32)
+        pc_label = "aggvcycle"
 
     @jax.jit
     def run_imp(A_, M_, u, K):
@@ -970,7 +983,7 @@ def bench_transport_fixture(rel="3DKershaw/Kershaw2.med", label="kershaw2med",
         return jax.lax.fori_loop(0, K, body, u)
 
     rec = {}
-    for name, M, side in (("aggvcycle", pc.apply_partial(), "right"),
+    for name, M, side in ((pc_label, pc.apply_partial(), "right"),
                           ("pcnone", None, "left")):
         sol = make_gmres(A_op, M, rtol=1e-5, atol=1e-5, maxiter=1000,
                          side=side, layout="lane")
@@ -984,11 +997,11 @@ def bench_transport_fixture(rel="3DKershaw/Kershaw2.med", label="kershaw2med",
         rec[name] = (per, int(np.asarray(out.iters)),
                      bool(np.asarray(out.converged)))
 
-    per, iters, conv = rec["aggvcycle"]
+    per, iters, conv = rec[pc_label]
     per_no, it_no, conv_no = rec["pcnone"]
     return {"metric": f"transport_implicit_step_ms_{label}",
             "value": round(per * 1e3, 2), "unit": "ms/step",
-            "cells": int(mesh.n_cells), "pc": "aggvcycle",
+            "cells": int(mesh.n_cells), "pc": pc_label,
             "gmres_iters": iters, "converged": conv,
             "pcnone_ms_per_step": round(per_no * 1e3, 2),
             "pcnone_gmres_iters": it_no, "pcnone_converged": conv_no,
