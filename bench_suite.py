@@ -871,9 +871,13 @@ def bench_ladder_top(n_side=50):
     model = WaveSystem(mesh, cfl=1e3 / 3, dtype=jnp.float32)
     A_fm = jax.tree_util.Partial(_identity_plus,
                                  model.divergence_op_fm(flat=True))
+    # the fine level MUST reuse the block-sparse supercell operator: letting
+    # from_grid_model build its own VaryingStencilOperator stores the dense
+    # (24x24)-block form - 2.0 GB at this size, and the V-cycle then streams
+    # it twice per iteration (measured 1129 ms/step vs ~8x less traffic here)
     pc = GridVCyclePC.from_grid_model(
         model.divergence, mesh.topology_shape, cells_per_site=6,
-        A0_apply=None, shift=1.0, dtype=jnp.float32)
+        A0_apply=A_fm, A0_apply_fm=A_fm, shift=1.0, dtype=jnp.float32)
     M = pcs.cell_major_adapter(pc.apply_partial(), model.fm_block)
     U0 = model.pack_fm(model.initial_state()).reshape(-1)
 
