@@ -878,7 +878,9 @@ def bench_ladder_top(n_side=50):
     pc = GridVCyclePC.from_grid_model(
         model.divergence, mesh.topology_shape, cells_per_site=6,
         A0_apply=A_fm, A0_apply_fm=A_fm, shift=1.0, dtype=jnp.float32)
-    M = pcs.cell_major_adapter(pc.apply_partial(), model.fm_block)
+    # the GMRES loop is field-major; apply the cycle field-major too
+    # (the cell-major cycle would route the fm fine operator wrong)
+    M = pc.apply_fm_partial()
     U0 = model.pack_fm(model.initial_state()).reshape(-1)
 
     sol = make_gmres(A_fm, M, rtol=1e-5, atol=1e-5, maxiter=1000,
@@ -918,7 +920,7 @@ def bench_ladder_top(n_side=50):
             "spmv_gnnz_per_s": round(nnz / per_spmv / 1e9, 3),
             "explicit_us_per_step": round(per_exp * 1e6, 1),
             "operator_dev_mb": round(dev_bytes(D_fm) / 1e6, 1),
-            "pc_dev_mb": round(dev_bytes(pc.apply_partial()) / 1e6, 1),
+            "pc_dev_mb": round(dev_bytes(pc.apply_fm_partial()) / 1e6, 1),
             "note": "generated KershawTetra3-rung analog (fixture blob absent); "
                     "t=0 solve per step (see transport_implicit note)"}
 
