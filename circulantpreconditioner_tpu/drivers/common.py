@@ -3,7 +3,7 @@
 The reference drivers take `[mesh.med | nx [ny [nz]]] [resultDir]` positional
 args (e.g. tests/TransportEquationFFT_...cxx:183-225, domain [-0.5,0.5]^d).
 Here: positional nx [ny [nz]] with the same default domain, plus options for
-the unstructured families (--mesh-family hexa|tetra|kershaw or --msh FILE)
+the unstructured families (--mesh-family hexa|tetra|kershaw|kershawtet or --msh FILE)
 and output/checkpoint directories.
 """
 
@@ -29,7 +29,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("n", nargs="*",
                    help="mesh.med|mesh.msh file, or nx [ny [nz]] (cartesian [-0.5,0.5]^d) "
                         "— same positional convention as the reference drivers")
-    p.add_argument("--mesh-family", choices=["cartesian", "hexa", "tetra", "kershaw"],
+    p.add_argument("--mesh-family", choices=["cartesian", "hexa", "tetra", "kershaw",
+                                        "kershawtet"],
                    default="cartesian")
     p.add_argument("--msh", help="Gmsh .msh v2.2 file (overrides n / family)")
     p.add_argument("--periodic", action="store_true", help="periodic BCs (cartesian only)")
@@ -80,6 +81,11 @@ def build_mesh(args):
         return hex_mesh(bounds[:3], n3)
     if args.mesh_family == "tetra":
         return tet_mesh(bounds[:3], n3)
+    if args.mesh_family == "kershawtet":
+        # generated 3DKershawTetra analog (the reference ladder's top family)
+        from circulantpreconditioner_tpu.mesh import kershaw_tet_mesh
+
+        return kershaw_tet_mesh(bounds[:3], n3, eps=args.kershaw_eps)
     return kershaw_mesh(bounds[:3], n3, eps=args.kershaw_eps)
 
 
