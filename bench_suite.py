@@ -1079,6 +1079,32 @@ def _scale_worker(n_side: int, devices: int):
     print(f"scale: step-1 GMRES iters={iters} converged={converged}",
           file=sys.stderr, flush=True)
 
+    # round-5 comparison: the geometric-Galerkin grid V-cycle under plain
+    # GSPMD sharding (reshape transfers + varying-stencil levels lower to
+    # collectives automatically; iteration parity with single-device is
+    # asserted in __graft_entry__.dryrun_multichip stage (e))
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    from circulantpreconditioner_tpu.solvers.aggregation_pc import GridVCyclePC
+
+    gpc = GridVCyclePC.from_grid_model(
+        D, mesh.topology_shape, cells_per_site=1,
+        A0_apply=model.implicit_matvec(), shift=1.0, dtype=jnp.float32)
+    solver_g = make_gmres(model.implicit_matvec(), gpc.apply_partial(),
+                          rtol=1e-5, atol=1e-5, maxiter=1000, side="right",
+                          layout="flat")
+    Ug = jax.device_put(np.asarray(model.initial_state()),
+                        NamedSharding(dm, PSpec("shard")))
+    res_g = solver_g(Ug, Ug)
+    g_iters = int(np.asarray(res_g.iters))
+    g_conv = bool(np.asarray(res_g.converged))
+    print(f"scale: gridmg GSPMD iters={g_iters} converged={g_conv}",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter(); jax.block_until_ready(solver_g(Ug, Ug).x)
+    t1 = time.perf_counter(); jax.block_until_ready(
+        jax.jit(lambda u: solver_g(u, u).x)(Ug))
+    g_ms = (t1 - t0) * 1e3
+
     @jax.jit
     def run(u, K):
         return jax.lax.fori_loop(0, K, lambda i, v: solver(v, v).x, u)
@@ -1098,6 +1124,8 @@ def _scale_worker(n_side: int, devices: int):
         "unknowns": int(A.shape[0]), "pc": "circulant2l (halo all_to_all)",
         "pc_halo_fwd": int(coarse.halo_fwd), "pc_halo_bak": int(coarse.halo_bak),
         "spmv_halo": int(Ah.halo), "device": f"cpu x{devices} (virtual)",
+        "gridmg_gspmd_iters": g_iters, "gridmg_gspmd_converged": g_conv,
+        "gridmg_gspmd_ms_per_step": round(g_ms, 1),
     }), flush=True)
 
 
