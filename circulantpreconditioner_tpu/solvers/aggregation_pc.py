@@ -24,6 +24,11 @@ tol 1e-5 vs pbjacobi 291 its):
 - **V(1,1) cycle, point-block-Jacobi smoother** at every level, dense
   bottom inverse (one MXU matmul). Two-level-exact at factor 4 measured 88
   its; the recursive V-cycle keeps 103 of it at bottom size ≈ n/16.
+  Cycle-shape wall-time is FLAT on the descriptor-bound fixture SpMV
+  (KTetra2 on the v5e: V(1,1) 52 its / 365 ms·step, V(2,2) 32 / 375.5,
+  V(1,0) 94 / 479) — fewer iterations buy exactly what the extra fine
+  applies cost, so V(1,1) stays the default and iteration-count gains
+  only turn into wall-time when the SpMV itself gets faster.
 - Coarse-level SpMVs ride the clustered-window dense operator
   (ops/window_spmv.py) — contiguous aggregation preserves the RCM
   bandwidth, so windows stay tight.
