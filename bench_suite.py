@@ -223,7 +223,11 @@ def bench_pc_iterations(sides=(8, 16, 24)):
                          "converged": bool(np.asarray(out[4]))}
         table[f"kershaw{n_side}"] = row
     return {"metric": "wave_implicit_gmres_iters_by_pc", "value": table,
-            "unit": "iterations"}
+            "unit": "iterations",
+            "note": "gridmg/aggvcycle at kershaw8 (512 cells <= bottom_max) "
+                    "degenerate to the exact dense inverse (hence 2 its); "
+                    "aggvcycle is the UNSTRUCTURED-mesh tool - on these "
+                    "recovered-grid meshes gridmg is the intended PC"}
 
 
 def bench_wave_implicit(n_side=16, pc="gridmg"):
